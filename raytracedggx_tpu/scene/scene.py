@@ -1,0 +1,61 @@
+"""Scene: two-instance world (ground slab + animated model).
+
+Instance transforms per frame (RayTracer::UpdateFrame, RayTracer.cpp:269-279):
+
+- mesh 0 (ground): scaling(10, 0.5, 10) * translation(0, -0.5, 0)   [static]
+- mesh 1 (model):  scaling(s) * rotationY(angle) * translation(pos)
+  with angle advancing 16 deg/s * timeStep (RayTracer.cpp:270-272).
+
+``pos_scale`` comes from the CLI ``-mesh <file> [x y z scale]``
+(RayTracedGGX.cpp:495-505; default (0, 0, 0, 1)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math3d as m3
+from .mesh import Mesh, ground_cube, from_obj
+from .material import Materials, default_materials
+
+GROUND = 0
+MODEL = 1
+NUM_MESH = 2
+
+
+@dataclass
+class Scene:
+    meshes: List[Mesh]
+    materials: Materials
+    pos_scale: np.ndarray = field(
+        default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0], np.float32))
+
+    @staticmethod
+    def create(model_path: str, pos_scale=(0.0, 0.0, 0.0, 1.0),
+               materials: Materials | None = None) -> "Scene":
+        return Scene(
+            meshes=[ground_cube(), from_obj(model_path)],
+            materials=materials or default_materials(),
+            pos_scale=np.asarray(pos_scale, np.float32),
+        )
+
+    def worlds(self, angle):
+        """(NUM_MESH, 4, 4) world matrices for animation angle (traceable)."""
+        ground = m3.scaling(10.0, 0.5, 10.0) @ m3.translation(0.0, -0.5, 0.0)
+        s = float(self.pos_scale[3])
+        model = (m3.scaling(s, s, s) @ m3.rotation_y(angle)
+                 @ m3.translation(*[float(v) for v in self.pos_scale[:3]]))
+        return jnp.stack([ground, model])
+
+    def normal_matrices(self, worlds):
+        """(NUM_MESH, 3, 3) inverse-transpose normal matrices.
+
+        The reference passes identity for the ground and the bare rotation
+        for the model (RayTracer.cpp:294); the proper inverse-transpose
+        reduces to the same unit normals after shader-side normalization.
+        """
+        return jnp.stack([m3.normal_matrix(w) for w in worlds])

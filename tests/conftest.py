@@ -1,0 +1,36 @@
+"""Test config: force CPU with 8 virtual devices (the 'WARP analog' —
+SURVEY.md §4) so multi-chip sharding tests run without a TPU pod."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REF_ASSETS = "/root/reference/Bin/Assets"
+
+
+@pytest.fixture(scope="session")
+def bunny_path():
+    p = os.path.join(REF_ASSETS, "bunny.obj")
+    if not os.path.exists(p):
+        pytest.skip("reference assets unavailable")
+    return p
+
+
+@pytest.fixture(scope="session")
+def env_dds_path():
+    p = os.path.join(REF_ASSETS, "rnl_cross.dds")
+    if not os.path.exists(p):
+        pytest.skip("reference assets unavailable")
+    return p
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
