@@ -14,3 +14,13 @@ and the asset loaders.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# On TPU, float32 matmuls default to bf16 MXU passes.  The renderer's matrix
+# work (camera/instance transforms, unprojection, 4x4 inverses) is tiny but
+# precision-critical: bf16 rounding of a world matrix shows up as ~1e-3 NDC
+# reprojection error, which breaks motion vectors and TAA history lookups.
+# The hot paths (traversal, stencils) are VPU elementwise work and don't use
+# the MXU, so forcing full f32 here costs nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")

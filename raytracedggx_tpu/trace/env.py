@@ -1,0 +1,168 @@
+"""HDR environment cube map: storage + SampleLevel-style sampling.
+
+The reference lights the scene with a TextureCube environment probe sampled
+via ``g_txEnv.SampleLevel(sampler, dir, level)`` (RayTracing.hlsl:170) with
+a mip level derived from roughness (calcCubemapMipFromRoughness,
+RayTracing.hlsl:416-422).  Face selection and uv derivation follow the D3D11
+cube-map convention.  Filtering is bilinear-within-face + trilinear across
+mips, texels clamped at face edges (no seam blending — a close approximation
+of hardware seamless filtering at 256^2 probe resolution).
+
+Storage is TPU-gather-friendly: all faces of all mips flattened into one
+(N, 3) float32 buffer with per-mip offsets, so a single gather source
+serves every (ray, mip) pair.
+
+Also provides the reference's procedural sky fallback
+(environment() #else branch, RayTracing.hlsl:172-178) used before a DDS
+probe is loaded.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class EnvMap(NamedTuple):
+    data: jnp.ndarray      # (N, 3) float32: all mips, faces row-major
+    offsets: jnp.ndarray   # (L,) int32 start of each mip in data
+    sizes: jnp.ndarray     # (L,) int32 face edge length per mip
+    num_mips: int          # static
+
+
+def pack_mips(mips: List[np.ndarray]) -> EnvMap:
+    """mips[m]: (6, S_m, S_m, 3), S_m halving per level down to 1."""
+    offsets = []
+    sizes = []
+    chunks = []
+    off = 0
+    for m in mips:
+        s = m.shape[1]
+        assert m.shape == (6, s, s, 3)
+        offsets.append(off)
+        sizes.append(s)
+        chunks.append(np.asarray(m, np.float32).reshape(-1, 3))
+        off += 6 * s * s
+    return EnvMap(
+        data=jnp.asarray(np.concatenate(chunks, axis=0)),
+        offsets=jnp.asarray(offsets, jnp.int32),
+        sizes=jnp.asarray(sizes, jnp.int32),
+        num_mips=len(mips),
+    )
+
+
+def build_mips(base: np.ndarray) -> List[np.ndarray]:
+    """2x2 box-filter mip chain from a (6, S, S, 3) base down to 1x1."""
+    mips = [np.asarray(base, np.float32)]
+    while mips[-1].shape[1] > 1:
+        m = mips[-1]
+        s = m.shape[1] // 2
+        mips.append(m.reshape(6, s, 2, s, 2, 3).mean(axis=(2, 4)))
+    return mips
+
+
+def dir_to_face_uv(d):
+    """D3D cube-map face selection + uv for (..., 3) directions.
+
+    Returns (face, u, v) with u, v in [0, 1]."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # major axis
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(is_x, jnp.where(x >= 0, 0, 1),
+                     jnp.where(is_y, jnp.where(y >= 0, 2, 3),
+                               jnp.where(z >= 0, 4, 5))).astype(jnp.int32)
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    sc = jnp.where(is_x, jnp.where(x >= 0, -z, z),
+                   jnp.where(is_y, x, jnp.where(z >= 0, x, -x)))
+    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
+    inv = 0.5 / jnp.maximum(ma, 1e-30)
+    return face, sc * inv + 0.5, tc * inv + 0.5
+
+
+def face_uv_to_dir(face: int, u, v):
+    """Inverse mapping (texel center uv in [0,1] -> unit direction)."""
+    sc = u * 2.0 - 1.0
+    tc = v * 2.0 - 1.0
+    if face == 0:
+        d = jnp.stack([jnp.ones_like(sc), -tc, -sc], axis=-1)
+    elif face == 1:
+        d = jnp.stack([-jnp.ones_like(sc), -tc, sc], axis=-1)
+    elif face == 2:
+        d = jnp.stack([sc, jnp.ones_like(sc), tc], axis=-1)
+    elif face == 3:
+        d = jnp.stack([sc, -jnp.ones_like(sc), -tc], axis=-1)
+    elif face == 4:
+        d = jnp.stack([sc, -tc, jnp.ones_like(sc)], axis=-1)
+    else:
+        d = jnp.stack([-sc, -tc, -jnp.ones_like(sc)], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def _bilinear(env: EnvMap, mip, face, u, v):
+    """Bilinear sample one mip level (per-ray dynamic mip index)."""
+    s = env.sizes[mip]
+    off = env.offsets[mip]
+    sf = s.astype(jnp.float32)
+    x = u * sf - 0.5
+    y = v * sf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def tex(xi, yi):
+        xi = jnp.clip(xi, 0, s - 1).astype(jnp.int32)
+        yi = jnp.clip(yi, 0, s - 1).astype(jnp.int32)
+        idx = off + (face * s + yi) * s + xi
+        return env.data[idx]
+
+    c00 = tex(x0, y0)
+    c10 = tex(x0 + 1, y0)
+    c01 = tex(x0, y0 + 1)
+    c11 = tex(x0 + 1, y0 + 1)
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def sample_env(env: EnvMap, d, level=0.0):
+    """SampleLevel(dir, level): trilinear clamp. d: (..., 3), level scalar
+    or (...,)."""
+    face, u, v = dir_to_face_uv(d)
+    level = jnp.clip(jnp.broadcast_to(jnp.asarray(level, jnp.float32),
+                                      face.shape), 0.0, env.num_mips - 1.0)
+    m0 = jnp.floor(level).astype(jnp.int32)
+    m1 = jnp.minimum(m0 + 1, env.num_mips - 1)
+    f = (level - m0.astype(jnp.float32))[..., None]
+    c0 = _bilinear(env, m0, face, u, v)
+    c1 = _bilinear(env, m1, face, u, v)
+    return c0 * (1 - f) + c1 * f
+
+
+def procedural_sky(d):
+    """The reference's built-in sky (RayTracing.hlsl:172-178): vertical
+    gradient *3 + a hard sun disk along normalize(-1, 1, -1)."""
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    sun_dir = jnp.asarray([-1.0, 1.0, -1.0], jnp.float32)
+    sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
+    sun_amt = jnp.clip(jnp.sum(d * sun_dir, axis=-1), 0.0, 1.0)
+    a = d[..., 1] * 0.5 + 0.5
+    base = jnp.asarray([0.0, 0.16, 0.64], jnp.float32)
+    color = base + (1.0 - base) * a[..., None]
+    return color * 3.0 + jnp.where(sun_amt > 0.9995, 7.0, 0.0)[..., None]
+
+
+def procedural_env(size: int = 64) -> EnvMap:
+    """Bake the procedural sky into a cube map (tests / no-DDS fallback)."""
+    uv = (np.arange(size) + 0.5) / size
+    u, v = np.meshgrid(uv, uv, indexing="xy")
+    faces = []
+    for f in range(6):
+        d = np.asarray(face_uv_to_dir(f, jnp.asarray(u, jnp.float32),
+                                      jnp.asarray(v, jnp.float32)))
+        faces.append(np.asarray(procedural_sky(jnp.asarray(d))))
+    base = np.stack(faces)  # (6, S, S, 3)
+    return pack_mips(build_mips(base))

@@ -1,0 +1,88 @@
+"""Device-resident scene geometry: the bindless IB/VB analog.
+
+The reference binds per-mesh index/vertex buffers bindlessly
+(RayTracing.hlsl:81-82, register spaces 1/2) and fetches triangle vertices
+by (instance, primitive) id (getVertices, RayTracing.hlsl:230-244).  Here
+each mesh's arrays live on device; attribute fetch is a gather, and the
+2-mesh instance select is a masked merge (instances map 1:1 to meshes, as
+InstanceIndex() doubles as the mesh index in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh import LBVH, build_lbvh
+
+
+class MeshGeom(NamedTuple):
+    positions: jnp.ndarray  # (V, 3) float32, object space
+    normals: jnp.ndarray    # (V, 3)
+    tri: jnp.ndarray        # (T, 3) int32
+    v0: jnp.ndarray         # (T, 3) Moller-Trumbore precompute
+    e1: jnp.ndarray         # (T, 3) v1 - v0
+    e2: jnp.ndarray         # (T, 3) v2 - v0
+
+
+class SceneGeometry(NamedTuple):
+    meshes: Tuple[MeshGeom, ...]
+    blas: Tuple[LBVH, ...]
+
+    @property
+    def tri_data(self):
+        return [(m.v0, m.e1, m.e2) for m in self.meshes]
+
+
+def upload_mesh(mesh) -> MeshGeom:
+    tri = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
+    pos = np.asarray(mesh.positions, np.float32)
+    v = pos[tri]
+    return MeshGeom(
+        positions=jnp.asarray(pos),
+        normals=jnp.asarray(mesh.normals, jnp.float32),
+        tri=jnp.asarray(tri, jnp.int32),
+        v0=jnp.asarray(v[:, 0]),
+        e1=jnp.asarray(v[:, 1] - v[:, 0]),
+        e2=jnp.asarray(v[:, 2] - v[:, 0]),
+    )
+
+
+def upload_scene(scene) -> SceneGeometry:
+    meshes = tuple(upload_mesh(m) for m in scene.meshes)
+    blas = tuple(build_lbvh(m.positions, m.tri.reshape(-1)) for m in meshes)
+    return SceneGeometry(meshes=meshes, blas=blas)
+
+
+def fetch_vertices(geom: SceneGeometry, mesh_ids, inst, prim):
+    """getVertices (RayTracing.hlsl:230-244): gather the 3 object-space
+    vertex positions/normals of (inst, prim).  Returns ((R,3,3), (R,3,3)).
+    inst/prim may be garbage where the ray missed — caller masks."""
+    out_p = jnp.zeros(inst.shape + (3, 3), jnp.float32)
+    out_n = jnp.zeros(inst.shape + (3, 3), jnp.float32)
+    for i, m in enumerate(mesh_ids):
+        g = geom.meshes[m]
+        pid = jnp.clip(prim, 0, g.tri.shape[0] - 1)
+        tri = g.tri[pid]                       # (R, 3)
+        sel = (inst == i)[..., None, None]
+        out_p = jnp.where(sel, g.positions[tri], out_p)
+        out_n = jnp.where(sel, g.normals[tri], out_n)
+    return out_p, out_n
+
+
+def interp_attribs(geom: SceneGeometry, mesh_ids, inst, prim, u, v):
+    """interpAttrib (RayTracing.hlsl:249-271): barycentric-interpolated
+    object-space position and (unnormalized) normal at (inst, prim, u, v)."""
+    p, n = fetch_vertices(geom, mesh_ids, inst, prim)
+    return interp_from_vertices(p, n, u, v)
+
+
+def interp_from_vertices(p, n, u, v):
+    w0 = (1.0 - u - v)[..., None]
+    w1 = u[..., None]
+    w2 = v[..., None]
+    pos = w0 * p[..., 0, :] + w1 * p[..., 1, :] + w2 * p[..., 2, :]
+    nrm = w0 * n[..., 0, :] + w1 * n[..., 1, :] + w2 * n[..., 2, :]
+    return pos, nrm

@@ -1,0 +1,315 @@
+"""The ray-trace dispatch: raygen + closest-hit + miss, as a wavefront.
+
+TPU-native re-formulation of RayTracing.hlsl (entry raygenMain :540-565,
+closestHitReflection :570-590, closestHitDiffuse :592-614, missMain
+:619-625) and the DispatchRays call (RayTracer.cpp:807-809).
+
+Because MAX_RECURSION_DEPTH = 1 (RayTracing.hlsl:11), the megakernel's
+'recursion' is statically bounded: depth-1 hits never trace again (they fall
+back to env/SH lookups in traceRadianceRay/computeDiffuse).  The whole
+frame is therefore exactly three ray waves over the pixel grid —
+
+  1. primary cast   -> visibility buffer + G-buffers (replaces the
+                       VSVisibility/PSVisibility raster pass + the
+                       getPrimarySurface reconstruction)
+  2. GGX reflection -> shaded at the hit with the env split-sum or SH terms
+  3. cosine diffuse -> shaded likewise (skipped results masked where
+                       metallic >= 1, raygenMain:559)
+
+— each a batched trace + gather-shade, with no per-ray control flow.
+
+Primary-surface barycentrics come straight from the ray hit ("direct"),
+or optionally via the reference's perspective-correct NDC reconstruction
+(calcBarycentrics, RayTracing.hlsl:204-225) for bit-closer raster parity
+("ndc").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..sh import evaluate_sh_irradiance
+from ..utils.math3d import reflect, saturate
+from .brdf import f_schlick, vis_smith, env_brdf_approx, PI
+from .env import EnvMap, sample_env
+from .geometry import (SceneGeometry, fetch_vertices, interp_attribs,
+                       interp_from_vertices)
+from .sampling import sample_param, ggx_dir, cos_dir
+from .shade import get_uv, get_rough_metal, get_base_color
+from .traverse import trace_scene
+
+PRIMITIVE_BITS = 24
+T_MIN_SECONDARY = 1e-5
+T_MAX = 10000.0
+
+
+class FrameConstants(NamedTuple):
+    """CBGlobal + RayGenConstants (RayTracing.hlsl:46-60), row-vector."""
+    world_view_projs: jnp.ndarray       # (I, 4, 4)
+    world_view_projs_prev: jnp.ndarray  # (I, 4, 4)
+    worlds: jnp.ndarray                 # (I, 4, 4)
+    world_its: jnp.ndarray              # (I, 3, 3)
+    proj_to_world: jnp.ndarray          # (4, 4) inverse(view @ proj)
+    eye: jnp.ndarray                    # (3,)
+    proj_bias: jnp.ndarray              # (2,) NDC jitter
+    frame_index: jnp.ndarray            # () uint32, mod 256
+
+
+class MaterialsDev(NamedTuple):
+    base_colors: jnp.ndarray    # (I, 4)
+    rough_metals: jnp.ndarray   # (I, 2)
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def calc_barycentrics(p, ndc):
+    """calcBarycentrics (RayTracing.hlsl:204-225): perspective-correct
+    barycentrics from clip-space triangle p (R, 3, 4) and pixel NDC (R, 2)."""
+    inv_w = 1.0 / p[..., 3]                       # (R, 3)
+    ndc_v = p[..., :2] * inv_w[..., None]         # (R, 3, 2)
+    d21 = ndc_v[..., 2, :] - ndc_v[..., 1, :]
+    d01 = ndc_v[..., 0, :] - ndc_v[..., 1, :]
+    inv_det = 1.0 / (d21[..., 0] * d01[..., 1] - d21[..., 1] * d01[..., 0])
+    dpdx = jnp.stack([ndc_v[..., 1, 1] - ndc_v[..., 2, 1],
+                      ndc_v[..., 2, 1] - ndc_v[..., 0, 1],
+                      ndc_v[..., 0, 1] - ndc_v[..., 1, 1]],
+                     axis=-1) * inv_det[..., None]
+    dpdy = jnp.stack([ndc_v[..., 2, 0] - ndc_v[..., 1, 0],
+                      ndc_v[..., 0, 0] - ndc_v[..., 2, 0],
+                      ndc_v[..., 1, 0] - ndc_v[..., 0, 0]],
+                     axis=-1) * inv_det[..., None]
+    delta = ndc - ndc_v[..., 0, :]
+    interp_inv_w = (inv_w[..., 0]
+                    + delta[..., 0] * jnp.sum(inv_w * dpdx, axis=-1)
+                    + delta[..., 1] * jnp.sum(inv_w * dpdy, axis=-1))
+    interp_w = 1.0 / interp_inv_w
+    bx = interp_w * (delta[..., 0] * dpdx[..., 1] * inv_w[..., 1]
+                     + delta[..., 1] * dpdy[..., 1] * inv_w[..., 1])
+    by = interp_w * (delta[..., 0] * dpdx[..., 2] * inv_w[..., 2]
+                     + delta[..., 1] * dpdy[..., 2] * inv_w[..., 2])
+    return bx, by
+
+
+def _mip_level(env: EnvMap, rough):
+    """calcCubemapMipFromRoughness (RayTracing.hlsl:416-422)."""
+    level = 3.0 - 1.15 * jnp.log2(jnp.maximum(rough, 1e-20))
+    return env.num_mips - 1.0 - level
+
+
+def _spec_env_shade(env: EnvMap, n, v, rough, color, metal):
+    """computeReflection at the recursion limit (RayTracing.hlsl:442-481,
+    depth >= MAX branch): H = N, direction faded toward N by roughness,
+    mip-filtered env lookup, EnvBRDFApprox split-sum weight."""
+    a = rough * rough
+    r = reflect(-v, n)
+    k = ((1.0 - a) * (jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) + a))[..., None]
+    d = n + (r - n) * k                      # lerp(N, R, k), unnormalized
+    nol = jnp.sum(n * d, axis=-1)
+    nov = saturate(jnp.sum(n * v, axis=-1))
+    rad = sample_env(env, d, _mip_level(env, rough))
+    rad = jnp.where((nol > 0.0)[..., None], rad, 0.0)
+    f0 = 0.04 * (1.0 - metal[..., None]) + color * metal[..., None]
+    return rad * env_brdf_approx(f0, rough, nov)
+
+
+def _sh_shade(sh_coeffs, n, albedo):
+    """computeDiffuse at the recursion limit (RayTracing.hlsl:513):
+    SH irradiance / pi, modulated by albedo."""
+    return evaluate_sh_irradiance(sh_coeffs, n) / PI * albedo
+
+
+def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
+                     rec, ray_dir, damp_diffuse_albedo):
+    """Shared closest-hit shading for depth-1 rays.
+
+    Both hit shaders route by the hit material's metallic
+    (closestHitReflection:588-589, closestHitDiffuse:605-612):
+    metallic > 0.5 -> env-specular path, else -> SH-diffuse path.
+    closestHitDiffuse additionally damps albedo by (1 - metallic) on the
+    diffuse route (:607) — `damp_diffuse_albedo`.
+    """
+    pos_obj, nrm_obj = interp_attribs(geom, mesh_ids, rec.inst, rec.prim,
+                                      rec.u, rec.v)
+    inst_c = jnp.clip(rec.inst, 0, len(mesh_ids) - 1)
+    wit = consts.world_its[inst_c]                        # (R, 3, 3)
+    n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj, wit))
+    v = -ray_dir
+    uv = get_uv(nrm_obj, pos_obj)
+    rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
+    color = get_base_color(mats.base_colors, rec.inst)[..., :3]
+
+    spec = _spec_env_shade(env, n, v, rough, color, metal)
+    albedo = jnp.where(damp_diffuse_albedo,
+                       color * (1.0 - metal[..., None]), color)
+    diff = _sh_shade(sh_coeffs, n, albedo)
+    return jnp.where((metal > 0.5)[..., None], spec, diff)
+
+
+def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
+                    mats: MaterialsDev, width: int, height: int,
+                    bary_mode: str = "direct"):
+    """Primary cast replacing the visibility raster + getPrimarySurface
+    (RayTracing.hlsl:277-333).  Returns a dict of flat (R,) / (R, C) arrays.
+    """
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = -((jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0)
+    sx, sy = jnp.meshgrid(xs, ys, indexing="xy")
+    ndc = jnp.stack([sx.reshape(-1), sy.reshape(-1)], axis=-1)  # (R, 2)
+    ndc = ndc - consts.proj_bias                                 # :300
+
+    # unproject onto the near plane (z_ndc = 0), cast from there so the
+    # near-clip behavior matches the raster pass
+    ndc_h = jnp.concatenate(
+        [ndc, jnp.zeros_like(ndc[..., :1]), jnp.ones_like(ndc[..., :1])],
+        axis=-1)
+    world = ndc_h @ consts.proj_to_world
+    p_near = world[..., :3] / world[..., 3:4]
+    ray_d = _normalize(p_near - consts.eye)
+
+    rec = trace_scene(geom.blas, geom.tri_data, tlas,
+                      p_near, ray_d, 0.0, T_MAX)
+
+    mesh_ids = tlas.mesh_ids
+    inst_c = jnp.clip(rec.inst, 0, len(mesh_ids) - 1)
+
+    vp, vn = fetch_vertices(geom, mesh_ids, rec.inst, rec.prim)
+    if bary_mode == "ndc":
+        wvp = consts.world_view_projs[inst_c]            # (R, 4, 4)
+        vh = jnp.concatenate([vp, jnp.ones_like(vp[..., :1])], axis=-1)
+        clip_v = jnp.einsum("...vc,...cd->...vd", vh, wvp)
+        u, v = calc_barycentrics(clip_v, ndc)
+    else:
+        u, v = rec.u, rec.v
+    pos_obj, nrm_obj = interp_from_vertices(vp, vn, u, v)
+
+    uv = get_uv(nrm_obj, pos_obj)
+    rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
+    color = get_base_color(mats.base_colors, rec.inst)[..., :3]
+
+    worlds = consts.worlds[inst_c]
+    p_world = (jnp.einsum("...c,...cd->...d", pos_obj, worlds[..., :3, :3])
+               + worlds[..., 3, :3])
+    n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj,
+                              consts.world_its[inst_c]))
+    # sky pixels: P = near-plane point, N = 0, V toward eye
+    # (RayTracing.hlsl:319-331)
+    hit3 = rec.hit[..., None]
+    p_world = jnp.where(hit3, p_world, p_near)
+    n = jnp.where(hit3, n, 0.0)
+    v_dir = _normalize(consts.eye - p_world)
+
+    # velocity (RayTracing.hlsl:308-311)
+    pos_h = jnp.concatenate([pos_obj, jnp.ones_like(pos_obj[..., :1])],
+                            axis=-1)
+    prev_clip = jnp.einsum("...c,...cd->...d", pos_h,
+                           consts.world_view_projs_prev[inst_c])
+    velocity = ((ndc - prev_clip[..., :2] / prev_clip[..., 3:4])
+                * jnp.asarray([0.5, -0.5], jnp.float32))
+    velocity = jnp.where(hit3[..., :2], velocity, 0.0)
+
+    # raster-equivalent depth for the denoiser (z_clip / w of the hit)
+    cur_clip = jnp.einsum("...c,...cd->...d", pos_h,
+                          consts.world_view_projs[inst_c])
+    depth = jnp.where(rec.hit, cur_clip[..., 2] / cur_clip[..., 3], 1.0)
+
+    # visibility encoding ((inst << PRIMITIVE_BITS) | prim) + 1
+    # (PSVisibility.hlsl:18-24)
+    vis = jnp.where(
+        rec.hit,
+        ((rec.inst.astype(jnp.uint32) << PRIMITIVE_BITS)
+         | rec.prim.astype(jnp.uint32)) + jnp.uint32(1),
+        jnp.uint32(0))
+
+    metal = jnp.where(rec.hit, metal, 0.0)      # rghMtl.y = 0 for sky (:329)
+    rough = jnp.where(rec.hit, rough, 0.0)
+
+    return dict(hit=rec.hit, vis=vis, n=n, v=v_dir, p=p_world,
+                color=color, rough=rough, metal=metal,
+                velocity=velocity, depth=depth, ray_d=ray_d)
+
+
+def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
+                   mats: MaterialsDev, env: EnvMap, sh_coeffs,
+                   width: int, height: int, bary_mode: str = "direct"):
+    """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
+    refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
+    velocity, depth, vis."""
+    surf = primary_surface(geom, tlas, consts, mats, width, height,
+                           bary_mode)
+    hit = surf["hit"]
+    n, v, p = surf["n"], surf["v"], surf["p"]
+    rough, metal, color = surf["rough"], surf["metal"], surf["color"]
+    mesh_ids = tlas.mesh_ids
+
+    R = hit.shape[0]
+    px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+    xi = sample_param(px, py, width, consts.frame_index)
+
+    # ---------------- reflection wave (computeReflection, depth 0) -------
+    a = rough * rough
+    h = ggx_dir(a, n, xi)
+    r_dir = reflect(-v, h)
+    nol = jnp.sum(n * r_dir, axis=-1)
+    trace_dir = jnp.where(hit[..., None], r_dir, -v)  # sky: direction = -V
+    rec_r = trace_scene(geom.blas, geom.tri_data, tlas, p, trace_dir,
+                        T_MIN_SECONDARY, T_MAX)
+    # kill rays the reference never traced (miss -> env anyway for sky;
+    # hit pixels with NoL <= 0 contribute 0 below)
+    shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
+                                rec_r, trace_dir, damp_diffuse_albedo=False)
+    # closestHitReflection early-out (:573): payload seeded with
+    # color * metallic; all-nonpositive seed skips hit shading
+    seed = color * metal[..., None]
+    seed_dead = jnp.all(seed <= 0.0, axis=-1, keepdims=True)
+    shaded_r = jnp.where(seed_dead, seed, shaded_r)
+    env_r = sample_env(env, trace_dir, 0.0)
+    radiance_r = jnp.where(rec_r.hit[..., None] & hit[..., None],
+                           shaded_r, env_r)
+
+    # primary BRDF weight (RayTracing.hlsl:461-478)
+    f0 = 0.04 * (1.0 - metal[..., None]) + color * metal[..., None]
+    voh = saturate(jnp.sum(v * h, axis=-1))
+    noh = saturate(jnp.sum(n * h, axis=-1))
+    nov = saturate(jnp.sum(n * v, axis=-1))
+    fres = f_schlick(f0, voh)
+    vis_t = vis_smith(rough, nov, nol)
+    weight = (nol * vis_t * (4.0 * voh / noh))[..., None] * fres
+    refl = jnp.where(hit[..., None],
+                     jnp.where((nol > 0.0)[..., None],
+                               radiance_r * weight, 0.0),
+                     radiance_r)
+
+    # ---------------- diffuse wave (computeDiffuse, depth 0) -------------
+    d_dir = cos_dir(n, xi)
+    trace_dir_d = jnp.where(hit[..., None], d_dir, -v)
+    rec_d = trace_scene(geom.blas, geom.tri_data, tlas, p, trace_dir_d,
+                        T_MIN_SECONDARY, T_MAX)
+    shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
+                                rec_d, trace_dir_d, damp_diffuse_albedo=True)
+    env_d = sample_env(env, trace_dir_d, 0.0)
+    radiance_d = jnp.where(rec_d.hit[..., None] & hit[..., None],
+                           shaded_d, env_d)
+    # primary albedo weight: albedo * (1 - 0.04) at depth 0 (:532)
+    diff = jnp.where(hit[..., None],
+                     radiance_d * color * (1.0 - 0.04), radiance_d)
+    # metallic >= 1 pixels never get a diffuse ray (raygenMain:559)
+    diff = jnp.where((metal < 1.0)[..., None], diff, 0.0)
+
+    hw = (height, width)
+    return dict(
+        refl=refl.reshape(hw + (3,)),
+        diff=diff.reshape(hw + (3,)),
+        normal=jnp.concatenate(
+            [n * 0.5 + 0.5, hit[..., None].astype(jnp.float32)],
+            axis=-1).reshape(hw + (4,)),
+        rough_metal=jnp.stack([rough, metal], axis=-1).reshape(hw + (2,)),
+        velocity=surf["velocity"].reshape(hw + (2,)),
+        depth=surf["depth"].reshape(hw),
+        vis=surf["vis"].reshape(hw),
+    )
