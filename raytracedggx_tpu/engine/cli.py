@@ -1,0 +1,122 @@
+"""Command-line renderer — the app shell.
+
+Replaces Main.cpp + Win32Application + the hotkey surface with a headless
+CLI.  Flags mirror the reference's (ParseCommandLineArgs,
+RayTracedGGX.cpp:462-511):
+
+  -mesh <file> [x y z scale]   model OBJ + position/scale
+  -env <file>                  DDS environment probe (cube map)
+
+plus headless controls: --frames, --out, --width/--height, --screenshot
+(the F11 analog), --metallic i v (the up/down-arrow analog), --no-spatial /
+--no-temporal, --pause, --bary ndc, --emulate-formats.
+
+The reference's scenario .bat files (Bin/Bunny.bat etc.) map 1:1:
+  python -m raytracedggx_tpu.engine.cli -mesh Assets/bunny.obj 0 0 0 1.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="raytracedggx_tpu",
+        description="TPU-native RayTracedGGX renderer")
+    p.add_argument("-mesh", nargs="+", default=None,
+                   help="<file> [x y z scale]")
+    p.add_argument("-env", default=None, help="DDS environment cube map")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--dt", type=float, default=1 / 60,
+                   help="fixed timestep (animation)")
+    p.add_argument("--pause", action="store_true",
+                   help="freeze animation (Space analog)")
+    p.add_argument("--out", default="frame.png", help="output PNG path")
+    p.add_argument("--screenshot", type=int, default=0,
+                   help="also save every Nth frame (F11 analog)")
+    p.add_argument("--metallic", nargs=2, action="append", default=[],
+                   metavar=("MESH", "VALUE"), help="set mesh metallic")
+    p.add_argument("--no-spatial", action="store_true")
+    p.add_argument("--no-temporal", action="store_true")
+    p.add_argument("--bary", choices=["direct", "ndc"], default="direct")
+    p.add_argument("--emulate-formats", action="store_true")
+    p.add_argument("--kernels", choices=["xla", "pallas"], default="xla",
+                   help="filter implementation (the V-toggle analog)")
+    p.add_argument("--stats", action="store_true", help="print fps line")
+    return p.parse_args(argv)
+
+
+DEFAULT_MESH = "/root/reference/Bin/Assets/dragon.obj"
+DEFAULT_ENV = "/root/reference/Bin/Assets/rnl_cross.dds"
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from ..scene import Scene
+    from ..io import write_png
+    from .renderer import Renderer, RenderConfig
+    from .stats import FrameStats
+
+    mesh_file = DEFAULT_MESH
+    pos_scale = (0.0, 0.0, 0.0, 1.0)
+    if args.mesh:
+        mesh_file = args.mesh[0]
+        vals = [float(v) for v in args.mesh[1:5]]
+        pos_scale = tuple(vals + list(pos_scale[len(vals):]))
+
+    env = None
+    env_file = args.env or (DEFAULT_ENV if os.path.exists(DEFAULT_ENV)
+                            else None)
+    if env_file and os.path.exists(env_file):
+        try:
+            from ..io.dds import load_cubemap_env
+            env = load_cubemap_env(env_file)
+        except Exception as e:  # pragma: no cover
+            print(f"warning: env load failed ({e}); procedural sky",
+                  file=sys.stderr)
+
+    scene = Scene.create(mesh_file, pos_scale=pos_scale)
+    for midx, val in args.metallic:
+        scene.materials.set_metallic(int(midx), float(val))
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       bary_mode=args.bary,
+                       spatial=not args.no_spatial,
+                       temporal=not args.no_temporal,
+                       emulate_formats=args.emulate_formats,
+                       kernels=args.kernels)
+    r = Renderer(scene, env=env, config=cfg)
+    state = r.init_state()
+    stats = FrameStats()
+
+    frame = None
+    dt = 0.0 if args.pause else args.dt
+    for i in range(args.frames):
+        state, frame, _ = r.step(state, dt)
+        if args.screenshot and (i + 1) % args.screenshot == 0:
+            write_png(f"{os.path.splitext(args.out)[0]}_{i + 1:04d}.png",
+                      np.clip(np.asarray(frame), 0, 1))
+        stats.tick()
+        if args.stats and i % 16 == 15:
+            frame.block_until_ready()
+            print(stats.title(mesh=os.path.basename(mesh_file)))
+
+    frame.block_until_ready()
+    write_png(args.out, np.clip(np.asarray(frame), 0, 1))
+    print(f"wrote {args.out} ({args.frames} frames, "
+          f"{cfg.width}x{cfg.height})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Frame orchestration: the RayTracedGGX app loop as one jitted step.
+
+Replaces the reference's per-frame host choreography — OnUpdate
+(RayTracedGGX.cpp:282-299), the 4-submission dual-queue OnRender
+(:302-353), RayTracer::UpdateFrame (RayTracer.cpp:250-305) and
+UpdateAccelerationStructure (:326-341), Denoiser::Denoise/ToneMap — with a
+single functional step: ``state -> (state, frame)``.  Command lists,
+barriers and the semaphore chain dissolve into XLA dataflow; queue overlap
+becomes XLA async dispatch (the host never blocks until it reads a frame);
+triple buffering becomes keeping N frames in flight before blocking on
+device results (run_frames).
+
+Per frame (mirroring RayTracer::UpdateFrame):
+- advance the model rotation 16 deg/s * dt (RayTracer.cpp:270-272)
+- Halton sub-pixel jitter: projBias = (h*2-1)/viewport (RayTracer.cpp:253-258)
+- rebuild WVPs, keep previous-frame WVPs for motion vectors
+- TLAS refit (instance transforms + world AABBs)
+- ray trace -> denoise (spatial H/V refl+diff, temporal accumulate) ->
+  tone map
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh import build_tlas
+from ..denoise import (reflection_spatial_filter, diffuse_spatial_filter,
+                       temporal_ss)
+from ..post import tone_map
+from ..scene.camera import Camera
+from ..sh import project_sh9
+from ..trace.env import EnvMap, procedural_env
+from ..trace.geometry import upload_scene
+from ..trace.raygen import FrameConstants, MaterialsDev, ray_trace_pass
+from ..utils import math3d as m3
+from ..utils.formats import quantize_r11g11b10, quantize_unorm, quantize_f16
+from ..utils.halton import halton_table
+
+ANIM_SPEED = 16.0 * np.pi / 180.0   # 16 deg/s (RayTracer.cpp:271)
+JITTER_TABLE = 1024
+RNG_FRAMES = 256                    # FrameIndex mod (RayTracer.cpp:295)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1280
+    height: int = 720
+    bary_mode: str = "direct"       # or "ndc" (reference reconstruction)
+    spatial: bool = True            # spatial filters on/off
+    temporal: bool = True           # TAA accumulate on/off
+    emulate_formats: bool = False   # round-trip reference storage precision
+    kernels: str = "xla"            # "xla" | "pallas" (the 'V' toggle analog)
+
+
+class RenderState(NamedTuple):
+    history: jnp.ndarray        # (H, W, 4) TSS accumulation (prev frame)
+    prev_wvp: jnp.ndarray       # (I, 4, 4)
+    angle: jnp.ndarray          # () animation angle
+    frame: jnp.ndarray          # () int32 absolute frame counter
+
+
+class Renderer:
+    def __init__(self, scene, camera: Camera | None = None,
+                 env: EnvMap | None = None,
+                 config: RenderConfig | None = None):
+        self.config = config or RenderConfig()
+        self.scene = scene
+        self.camera = camera or Camera(width=self.config.width,
+                                       height=self.config.height)
+        self.camera.width = self.config.width
+        self.camera.height = self.config.height
+        self.env = env if env is not None else procedural_env(64)
+        self.geom = upload_scene(scene)          # BLAS builds (init-time)
+
+        # SH projection of the env probe (reference: first-frame
+        # TransformSH, RayTracer.cpp:345-350 — here folded into init)
+        s0 = int(np.asarray(self.env.sizes[0]))
+        mip0 = np.asarray(self.env.data[:6 * s0 * s0]).reshape(6, s0, s0, 3)
+        self.sh_coeffs = project_sh9(jnp.asarray(mip0))
+
+        self.materials = MaterialsDev(
+            base_colors=jnp.asarray(scene.materials.base_colors),
+            rough_metals=jnp.asarray(scene.materials.rough_metals))
+
+        self.view_proj = jnp.asarray(self.camera.view_proj())
+        self.proj_to_world = m3.inverse(self.view_proj)
+        self.eye = jnp.asarray(self.camera.eye, jnp.float32)
+        self.jitter = jnp.asarray(halton_table(JITTER_TABLE))
+
+        self._step = jax.jit(partial(self._frame_step),
+                             static_argnames=(), donate_argnums=(0,))
+
+    # -- functional core ---------------------------------------------------
+
+    def init_state(self) -> RenderState:
+        cfg = self.config
+        worlds = self.scene.worlds(0.0)
+        wvp = jnp.einsum("ijk,kl->ijl", worlds, self.view_proj)
+        return RenderState(
+            history=jnp.zeros((cfg.height, cfg.width, 4), jnp.float32),
+            prev_wvp=wvp,
+            angle=jnp.zeros((), jnp.float32),
+            frame=jnp.zeros((), jnp.int32),
+        )
+
+    def _constants(self, state: RenderState, angle):
+        worlds = self.scene.worlds(angle)
+        wvp = jnp.einsum("ijk,kl->ijl", worlds, self.view_proj)
+        h2 = self.jitter[state.frame % JITTER_TABLE]
+        bias = (h2 * 2.0 - 1.0) / jnp.asarray(
+            [self.config.width, self.config.height], jnp.float32)
+        consts = FrameConstants(
+            world_view_projs=wvp,
+            world_view_projs_prev=state.prev_wvp,
+            worlds=worlds,
+            world_its=self.scene.normal_matrices(worlds),
+            proj_to_world=self.proj_to_world,
+            eye=self.eye,
+            proj_bias=bias,
+            frame_index=(state.frame % RNG_FRAMES).astype(jnp.uint32),
+        )
+        return consts, worlds, wvp
+
+    def _frame_step(self, state: RenderState, dt, rough_metals):
+        cfg = self.config
+        angle = state.angle + ANIM_SPEED * dt
+        consts, worlds, wvp = self._constants(state, angle)
+        mats = self.materials._replace(rough_metals=rough_metals)
+
+        # TLAS refit — the async-compute-queue update (RayTracer.cpp:326-341)
+        tlas = build_tlas(list(self.geom.blas), worlds,
+                          mesh_ids=tuple(range(len(self.geom.blas))))
+
+        out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
+                             self.sh_coeffs, cfg.width, cfg.height,
+                             bary_mode=cfg.bary_mode)
+
+        refl, diff = out["refl"], out["diff"]
+        normal, rough_metal = out["normal"], out["rough_metal"]
+        depth, velocity = out["depth"], out["velocity"]
+        if cfg.emulate_formats:
+            refl = quantize_r11g11b10(refl)
+            diff = quantize_r11g11b10(diff)
+            normal = jnp.concatenate(
+                [quantize_unorm(normal[..., :3], 10),
+                 quantize_unorm(normal[..., 3:4], 2)], axis=-1)
+            rough_metal = quantize_unorm(rough_metal, 8)
+            velocity = quantize_f16(velocity)
+
+        rough = rough_metal[..., 0]
+        metal = rough_metal[..., 1]
+
+        if cfg.spatial:
+            flt_rfl = reflection_spatial_filter(
+                refl, normal, rough, depth, cfg.width, cfg.height)
+            flt_dff = diffuse_spatial_filter(
+                diff, flt_rfl, normal, metal, depth)
+        else:
+            # temporal-only config (BASELINE config 1): composite directly
+            hit = normal[..., 3:4]
+            flt_rfl = jnp.concatenate([refl, hit], axis=-1)
+            comp = jnp.where(metal[..., None] < 1.0, refl + diff, refl)
+            flt_dff = jnp.concatenate([comp, hit], axis=-1)
+        if cfg.emulate_formats:
+            flt_dff = quantize_f16(flt_dff)
+
+        if cfg.temporal:
+            accum = temporal_ss(flt_dff, state.history, velocity)
+        else:
+            accum = flt_dff
+        if cfg.emulate_formats:
+            accum = quantize_f16(accum)
+
+        frame = tone_map(accum)
+
+        new_state = RenderState(
+            history=accum,
+            prev_wvp=wvp,
+            angle=angle,
+            frame=state.frame + 1,
+        )
+        aux = dict(out, refl=refl, diff=diff, accum=accum)
+        return new_state, frame, aux
+
+    # -- host-side loop ----------------------------------------------------
+
+    def step(self, state: RenderState, dt: float = 1 / 60):
+        """One frame. Non-blocking: returns device arrays immediately
+        (XLA async dispatch = the queue-overlap analog)."""
+        return self._step(state, jnp.float32(dt),
+                          self.materials.rough_metals)
+
+    def set_metallic(self, mesh_idx: int, metallic: float):
+        """RayTracer::SetMetallic (RayTracer.cpp:243-247)."""
+        rm = np.asarray(self.materials.rough_metals).copy()
+        rm[mesh_idx, 1] = np.clip(metallic, 0.0, 1.0)
+        self.materials = self.materials._replace(
+            rough_metals=jnp.asarray(rm))
+
+    def run_frames(self, num_frames: int, dt: float = 1 / 60,
+                   state: RenderState | None = None, frames_in_flight=3):
+        """Render N frames with triple-buffered pipelining (the analog of
+        FrameCount=3 fencing, RayTracedGGX.cpp:684-717): keep at most
+        `frames_in_flight` device computations outstanding."""
+        state = state or self.init_state()
+        pending = []
+        last = None
+        for _ in range(num_frames):
+            state, frame, _ = self.step(state, dt)
+            pending.append(frame)
+            if len(pending) > frames_in_flight:
+                pending.pop(0).block_until_ready()
+            last = frame
+        jax.block_until_ready(last)
+        return state, last

@@ -51,8 +51,13 @@ def upload_mesh(mesh) -> MeshGeom:
 
 
 def upload_scene(scene) -> SceneGeometry:
+    import jax
+
     meshes = tuple(upload_mesh(m) for m in scene.meshes)
-    blas = tuple(build_lbvh(m.positions, m.tri.reshape(-1)) for m in meshes)
+    # jit the builds: eager dispatch of the radix-tree's many small ops is
+    # ~100x slower on a remote backend
+    build = jax.jit(build_lbvh)
+    blas = tuple(build(m.positions, m.tri.reshape(-1)) for m in meshes)
     return SceneGeometry(meshes=meshes, blas=blas)
 
 
