@@ -62,11 +62,10 @@ def _itm(c):
     return ycocg_to_rgb(c)
 
 
-def _bilinear_clamp(img, u, v):
-    """Bilinear sample (H, W, C) at continuous uv in [0,1] (clamp)."""
+def _bilinear_clamp_pix(img, x, y):
+    """Bilinear sample (H, W, C) at continuous pixel coords (clamp).
+    (x, y) = (u*W - 0.5, v*H - 0.5) of the equivalent uv sampler."""
     h, w = img.shape[0], img.shape[1]
-    x = u * w - 0.5
-    y = v * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
@@ -97,18 +96,21 @@ def _velocity_max(velocity):
     return best
 
 
-def temporal_ss(current, history, velocity):
-    """current/history: (H, W, 4); velocity: (H, W, 2) NDC*0.5 units.
+def temporal_ss(current, history, velocity, full_size=None):
+    """current/history: (H, W, 4); velocity: (H, W, 2) in fractions of the
+    FULL viewport (NDC*0.5 units).  full_size=(W_full, H_full) scales the
+    reprojection when the arrays are a row band of a larger sharded image
+    (parallel/sharded.py); defaults to the local shape.
     Returns the new accumulation buffer (H, W, 4)."""
     h, w = current.shape[0], current.shape[1]
-    tex_size = jnp.asarray([w, h], jnp.float32)
+    fw, fh = full_size if full_size is not None else (w, h)
+    tex_size = jnp.asarray([fw, fh], jnp.float32)
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    uv_x = (xs + 0.5) / w
-    uv_y = (ys + 0.5) / h
 
     vel = _velocity_max(velocity)
-    hist = _bilinear_clamp(history, uv_x - vel[..., 0], uv_y - vel[..., 1])
+    hist = _bilinear_clamp_pix(history, xs - vel[..., 0] * fw,
+                               ys - vel[..., 1] * fh)
 
     # speed -> blur estimate (:276-283)
     blur_amp = 4.0 * tex_size

@@ -152,12 +152,19 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
 
 def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
                     mats: MaterialsDev, width: int, height: int,
-                    bary_mode: str = "direct"):
+                    bary_mode: str = "direct", row0=0, band_height=None):
     """Primary cast replacing the visibility raster + getPrimarySurface
     (RayTracing.hlsl:277-333).  Returns a dict of flat (R,) / (R, C) arrays.
+
+    row0/band_height: render only image rows [row0, row0+band_height) of
+    the full width x height viewport — the image-space sharding hook
+    (row0 may be traced, e.g. an axis_index-derived offset in shard_map).
     """
+    if band_height is None:
+        band_height = height
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = -((jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0)
+    rows = row0 + jnp.arange(band_height, dtype=jnp.float32)
+    ys = -((rows + 0.5) / height * 2.0 - 1.0)
     sx, sy = jnp.meshgrid(xs, ys, indexing="xy")
     ndc = jnp.stack([sx.reshape(-1), sy.reshape(-1)], axis=-1)  # (R, 2)
     ndc = ndc - consts.proj_bias                                 # :300
@@ -235,20 +242,25 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
 
 def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    mats: MaterialsDev, env: EnvMap, sh_coeffs,
-                   width: int, height: int, bary_mode: str = "direct"):
+                   width: int, height: int, bary_mode: str = "direct",
+                   row0=0, band_height=None):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
-    velocity, depth, vis."""
+    velocity, depth, vis.  row0/band_height restrict to a row band (the
+    RNG stays keyed on global pixel ids, so bands tile deterministically).
+    """
+    if band_height is None:
+        band_height = height
     surf = primary_surface(geom, tlas, consts, mats, width, height,
-                           bary_mode)
+                           bary_mode, row0=row0, band_height=band_height)
     hit = surf["hit"]
     n, v, p = surf["n"], surf["v"], surf["p"]
     rough, metal, color = surf["rough"], surf["metal"], surf["color"]
     mesh_ids = tlas.mesh_ids
 
     R = hit.shape[0]
-    px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+    px = jnp.tile(jnp.arange(width, dtype=jnp.int32), band_height)
+    py = jnp.repeat(row0 + jnp.arange(band_height, dtype=jnp.int32), width)
     xi = sample_param(px, py, width, consts.frame_index)
 
     # ---------------- reflection wave (computeReflection, depth 0) -------
@@ -301,7 +313,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     # metallic >= 1 pixels never get a diffuse ray (raygenMain:559)
     diff = jnp.where((metal < 1.0)[..., None], diff, 0.0)
 
-    hw = (height, width)
+    hw = (band_height, width)
     return dict(
         refl=refl.reshape(hw + (3,)),
         diff=diff.reshape(hw + (3,)),
