@@ -1,0 +1,68 @@
+"""Benchmark: end-to-end frame rate of the flagship pipeline on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md): bunny scene, 1 spp (primary + GGX reflection +
+diffuse), full spatial+temporal denoise + tone map, animated model (TLAS
+refit per frame).  Baseline north star: >=60 FPS at 1080p 1spp =
+1920*1080*3*60 = 373.2 Mrays/s on one chip; vs_baseline is measured
+Mrays/s over that target.
+
+Resolution via RTGGX_BENCH_RES (default 640x360 while the traversal is
+pre-Pallas; raise as perf lands).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    res = os.environ.get("RTGGX_BENCH_RES", "640x360")
+    frames = int(os.environ.get("RTGGX_BENCH_FRAMES", "4"))
+    w, h = (int(v) for v in res.split("x"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from raytracedggx_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import numpy as np
+    from raytracedggx_tpu.scene import Scene
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    mesh = "/root/reference/Bin/Assets/bunny.obj"
+    env_path = "/root/reference/Bin/Assets/rnl_cross.dds"
+    env = None
+    if os.path.exists(env_path):
+        from raytracedggx_tpu.io.dds import load_cubemap_env
+        env = load_cubemap_env(env_path)
+
+    scene = Scene.create(mesh)
+    r = Renderer(scene, env=env, config=RenderConfig(width=w, height=h))
+    state = r.init_state()
+
+    # warmup / compile
+    state, frame, _ = r.step(state)
+    frame.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(frames):
+        state, frame, _ = r.step(state)
+    frame.block_until_ready()
+    dt = (time.time() - t0) / frames
+
+    rays_per_frame = w * h * 3  # primary + reflection + diffuse waves
+    mrays = rays_per_frame / dt / 1e6
+    north_star = 1920 * 1080 * 3 * 60 / 1e6  # 373.2 Mrays/s
+    print(json.dumps({
+        "metric": f"mrays_per_s_per_chip_e2e_{w}x{h}",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / north_star, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,8 @@ class RenderConfig:
     temporal: bool = True           # TAA accumulate on/off
     emulate_formats: bool = False   # round-trip reference storage precision
     kernels: str = "xla"            # "xla" | "pallas" (the 'V' toggle analog)
+    traversal: str = "auto"         # "auto" | "pallas" | "jax"
+    leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
 
 
 class RenderState(NamedTuple):
@@ -76,7 +78,24 @@ class Renderer:
         self.camera.width = self.config.width
         self.camera.height = self.config.height
         self.env = env if env is not None else procedural_env(64)
-        self.geom = upload_scene(scene)          # BLAS builds (init-time)
+        self.geom = upload_scene(scene, leaf_size=self.config.leaf_size)
+
+        # traversal backend: the Pallas packet kernel on TPU, the pure-JAX
+        # stack traversal elsewhere ("auto")
+        from ..trace.raygen import default_tracer, pallas_tracer
+        mode = self.config.traversal
+        if mode == "auto":
+            mode = "pallas" if jax.default_backend() == "tpu" else "jax"
+        self.traversal = mode
+        self.trace_fn = (pallas_tracer(self.geom) if mode == "pallas"
+                         else default_tracer(self.geom))
+        # screen-block ray ordering keeps kernel tile frusta compact
+        from ..ops.traverse_pallas import block_order
+        if mode == "pallas":
+            o, i = block_order(self.config.width, self.config.height)
+            self.ray_order = (jnp.asarray(o), jnp.asarray(i))
+        else:
+            self.ray_order = None
 
         # SH projection of the env probe (reference: first-frame
         # TransformSH, RayTracer.cpp:345-350 — here folded into init)
@@ -139,7 +158,9 @@ class Renderer:
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
-                             bary_mode=cfg.bary_mode)
+                             bary_mode=cfg.bary_mode,
+                             trace_fn=self.trace_fn,
+                             ray_order=self.ray_order)
 
         refl, diff = out["refl"], out["diff"]
         normal, rough_metal = out["normal"], out["rough_metal"]

@@ -1,0 +1,151 @@
+"""Flatten an LBVH into the stream layout the Pallas kernel traverses.
+
+TPU has no efficient per-lane gather, so per-ray pointer chasing is out.
+The Pallas kernel instead runs *packet traversal*: a whole tile of rays
+walks the tree together in depth-first order with skip links —
+
+  node hit by ANY ray in the tile ? advance to node+1 (its first child)
+                                  : jump to skip[node] (past the subtree)
+
+All per-node data is read as scalars and broadcast across the ray tile
+(VPU-friendly; zero gathers).  Subtrees with <= leaf_size triangles are
+collapsed into multi-triangle leaves; triangles are re-ordered so every
+leaf is a contiguous [tri_start, tri_count) range of the streamed
+triangle array.
+
+Layout: the kernel fetches one node per step with a one-hot lane
+reduction (Mosaic only allows 128-aligned dynamic lane indices), so
+streams are stored lane-tiled:
+  nodes  (ceil(N/128), 8, 128) f32: node i -> [i//128, (lo.xyz,hi.xyz,0,0),
+                                               i%128]
+  meta   (ceil(N/128), 4, 128) i32: rows skip, tri_start, tri_count, pad
+  tris   (ceil(T/128), 9, 128) f32: rows v0, e1, e2, leaf-stream order
+Padding nodes have empty AABBs (+inf/-inf) and skip = N.  `tri_perm`
+maps stream position -> original triangle id (for prim ids / attributes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class FlatBVH(NamedTuple):
+    nodes: jnp.ndarray     # (Nt, 8, 128) float32
+    meta: jnp.ndarray      # (Nt, 4, 128) int32
+    tris: jnp.ndarray      # (Tt, 9, 128) float32
+    tri_perm: jnp.ndarray  # (T,) int32 stream -> original triangle id
+    num_nodes: int         # true node count (pre-padding)
+
+
+def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
+    """bvh: LBVH (device or host); tri data in ORIGINAL triangle order."""
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    leaf_tri = np.asarray(bvh.leaf_tri)
+    n = len(leaf_tri)
+    n_int = n - 1
+
+    # leaf count of each subtree (Karras internal nodes cover contiguous
+    # ranges; count via post-order accumulation)
+    counts = np.ones(2 * n - 1, np.int64)
+    # iterate until stable (height <= 64)
+    for _ in range(64):
+        new = counts[left] + counts[right]
+        if np.array_equal(new, counts[:n_int]):
+            break
+        counts[:n_int] = new
+
+    # DFS with subtree collapse
+    nodes = []
+    meta = []
+    tri_stream = []
+
+    def leaves_of(node):
+        """Collect leaf triangle ids of a subtree (iterative)."""
+        out = []
+        stack = [node]
+        while stack:
+            v = stack.pop()
+            if v >= n_int:
+                out.append(leaf_tri[v - n_int])
+            else:
+                stack.append(right[v])
+                stack.append(left[v])
+        return out
+
+    def emit(node):
+        idx = len(nodes)
+        nodes.append((amin[node], amax[node]))
+        meta.append([0, 0, 0, 0])
+        is_leaf = node >= n_int
+        if is_leaf or counts[node] <= leaf_size:
+            tris = leaves_of(node)
+            meta[idx][1] = len(tri_stream)
+            meta[idx][2] = len(tris)
+            tri_stream.extend(tris)
+        else:
+            emit(left[node])
+            emit(right[node])
+        meta[idx][0] = len(nodes)  # provisional; fixed below
+        return idx
+
+    # iterative DFS to avoid Python recursion limits
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10 ** 6)
+    try:
+        root = 0 if n > 1 else n_int
+        emit(root)
+    finally:
+        sys.setrecursionlimit(old)
+
+    N = len(nodes)
+    # fix skip links: skip[i] = index after i's subtree. Since emit appended
+    # meta[idx][0] = len(nodes) AFTER the subtree was emitted, it is already
+    # the correct skip.
+    node_arr = np.zeros((N, 8), np.float32)
+    for i, (lo, hi) in enumerate(nodes):
+        node_arr[i, :3] = lo
+        node_arr[i, 3:6] = hi
+    meta_arr = np.asarray(meta, np.int32)
+
+    perm = np.asarray(tri_stream, np.int64)
+    v0 = np.asarray(tri_v0)[perm]
+    e1 = np.asarray(tri_e1)[perm]
+    e2 = np.asarray(tri_e2)[perm]
+    tris = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
+
+    def lane_tile(arr, pad_value):
+        rows, cols = arr.shape
+        padded_rows = -(-rows // 128) * 128
+        out = np.full((padded_rows, cols), pad_value, arr.dtype)
+        out[:rows] = arr
+        # (rows, cols) -> (tiles, cols, 128)
+        return out.reshape(-1, 128, cols).transpose(0, 2, 1).copy()
+
+    # padding nodes: empty AABB (never hit), skip = N (terminates)
+    node_pad = np.zeros(8, np.float32)
+    node_pad[:3] = np.inf
+    node_pad[3:6] = -np.inf
+    nodes_t = lane_tile(node_arr, 0.0)
+    n_pad_rows = nodes_t.shape[0] * 128 - N
+    if n_pad_rows:
+        padded = np.full((n_pad_rows, 8), 0, np.float32)
+        padded[:] = node_pad
+        nodes_t = lane_tile(np.concatenate([node_arr, padded]), 0.0)
+        meta_pad = np.zeros((n_pad_rows, 4), np.int32)
+        meta_pad[:, 0] = N
+        meta_t = lane_tile(np.concatenate([meta_arr, meta_pad]), 0)
+    else:
+        meta_t = lane_tile(meta_arr, 0)
+
+    return FlatBVH(nodes=jnp.asarray(nodes_t),
+                   meta=jnp.asarray(meta_t),
+                   tris=jnp.asarray(lane_tile(tris, 0.0)),
+                   tri_perm=jnp.asarray(perm, jnp.int32),
+                   num_nodes=N)

@@ -1,0 +1,294 @@
+"""Pallas TPU packet traversal — the hot kernel of the renderer.
+
+One grid step owns a tile of 1024 rays held in (8, 128) vector registers;
+the whole BVH (nodes, skip links, triangle stream — flatten.py) resides in
+VMEM.  The tile walks the tree in DFS order:
+
+  per step: one scalar node fetch, broadcast AABB slab test against all
+  1024 rays (pure VPU), a tile-wide any() reduction decides descend vs
+  skip; leaf nodes stream their triangles through a broadcast
+  Möller–Trumbore test with masked best-hit updates.
+
+No gathers, no per-ray stacks: the only data-dependent control is the
+scalar node pointer — exactly the control structure TPUs can run fast.
+Cost per tile is the union of nodes its rays visit, so callers should
+sort incoherent ray batches (sort_rays_morton) before tracing.
+
+This kernel is the native replacement for both the driver BVH traversal
+behind DXR DispatchRays (XUSGRayTracing.h:306-341) and its compute-shader
+fallback (Common/D3D12RaytracingFallback.h).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..trace.traverse import HitRecord
+from .flatten import FlatBVH
+
+TILE_S, TILE_L = 8, 128
+TILE = TILE_S * TILE_L
+
+
+def _traverse_kernel(nodes_ref, meta_ref, tris_ref, rays_ref,
+                     t_ref, u_ref, v_ref, prim_ref, *,
+                     num_nodes, t_min):
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmax0 = rays_ref[0, 6]   # per-ray: -1 masks a ray out entirely
+
+    eps = jnp.float32(1e-20)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < eps,
+                               jnp.where(d >= 0, eps, -eps), d)
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+
+    lanes8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lanes4 = lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    lanes9 = lax.broadcasted_iota(jnp.int32, (9, 128), 1)
+
+    def body(carry):
+        i, bt, bu, bv, bp = carry
+        # fetch node i: dynamic tile index + one-hot lane reduction
+        # (Mosaic only supports 128-aligned dynamic lane slices)
+        tile = i >> 7
+        lane = i & 127
+        ntile = nodes_ref[tile]                       # (8, 128)
+        col = jnp.sum(jnp.where(lanes8 == lane, ntile, 0.0),
+                      axis=1)                          # (8,)
+        mtile = meta_ref[tile]                         # (4, 128)
+        mcol = jnp.sum(jnp.where(lanes4 == lane, mtile, 0),
+                       axis=1)                         # (4,)
+        skip = mcol[0]
+        tstart = mcol[1]
+        tcount = mcol[2]
+
+        t0x = (col[0] - ox) * ix
+        t1x = (col[3] - ox) * ix
+        t0y = (col[1] - oy) * iy
+        t1y = (col[4] - oy) * iy
+        t0z = (col[2] - oz) * iz
+        t1z = (col[5] - oz) * iz
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.minimum(t0z, t1z))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        hit = (tnear <= tfar) & (tfar >= t_min) & (tnear <= bt)
+        anyhit = jnp.any(hit)
+        is_leaf = tcount > 0
+
+        def leaf(args):
+            bt, bu, bv, bp = args
+
+            def tri_step(k, c):
+                bt, bu, bv, bp = c
+                ti = tstart + k
+                ttile = tris_ref[ti >> 7]                # (9, 128)
+                tr = jnp.sum(jnp.where(lanes9 == (ti & 127), ttile, 0.0),
+                             axis=1)                      # (9,)
+                v0x, v0y, v0z = tr[0], tr[1], tr[2]
+                e1x, e1y, e1z = tr[3], tr[4], tr[5]
+                e2x, e2y, e2z = tr[6], tr[7], tr[8]
+                # Moller-Trumbore, broadcast over the tile
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / det
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                      & (t >= t_min) & (t <= bt))
+                return (jnp.where(ok, t, bt),
+                        jnp.where(ok, u, bu),
+                        jnp.where(ok, v, bv),
+                        jnp.where(ok, ti, bp))
+
+            return lax.fori_loop(0, tcount, tri_step, (bt, bu, bv, bp))
+
+        bt, bu, bv, bp = lax.cond(is_leaf & anyhit, leaf,
+                                  lambda a: a, (bt, bu, bv, bp))
+        i_next = jnp.where(anyhit & jnp.logical_not(is_leaf), i + 1, skip)
+        return i_next, bt, bu, bv, bp
+
+    def cond(carry):
+        return carry[0] < num_nodes
+
+    init = (jnp.int32(0),
+            tmax0,
+            jnp.zeros((TILE_S, TILE_L), jnp.float32),
+            jnp.zeros((TILE_S, TILE_L), jnp.float32),
+            jnp.full((TILE_S, TILE_L), -1, jnp.int32))
+    _, bt, bu, bv, bp = lax.while_loop(cond, body, init)
+
+    t_ref[0] = bt
+    u_ref[0] = bu
+    v_ref[0] = bv
+    prim_ref[0] = bp
+
+
+def trace_rays_pallas(flat: FlatBVH, ray_o, ray_d, t_min, t_max,
+                      interpret: bool = False) -> HitRecord:
+    """Closest-hit trace of (R, 3) rays against one FlatBVH.
+
+    t_max: scalar or per-ray (R,).  A per-ray t_max of -1 masks the ray
+    out completely (zero traversal cost beyond tile participation) —
+    used for sky pixels / killed rays / already-closer other-instance
+    hits."""
+    R = ray_o.shape[0]
+    G = max(1, -(-R // TILE))
+    pad = G * TILE - R
+
+    def to_tiles(x):
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x.reshape(G, TILE_S, TILE_L, 3).transpose(0, 3, 1, 2)
+
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    # padded rays get t_max = -1 (masked out)
+    tmax_t = jnp.pad(tmax_arr, (0, pad), constant_values=-1.0)
+    tmax_t = tmax_t.reshape(G, 1, TILE_S, TILE_L)
+
+    rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
+                           axis=1)
+    # (G, 7, TILE_S, TILE_L)
+
+    kernel = functools.partial(_traverse_kernel,
+                               num_nodes=flat.num_nodes,
+                               t_min=float(t_min))
+    out_shape = [
+        jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.float32),
+        jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.float32),
+        jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.float32),
+        jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.int32),
+    ]
+    tile_spec = lambda: pl.BlockSpec((1, TILE_S, TILE_L),
+                                     lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    t, u, v, prim = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
+            pl.BlockSpec((1, 7, TILE_S, TILE_L),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec(), tile_spec(), tile_spec(), tile_spec()],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(flat.nodes, flat.meta, flat.tris, rays)
+
+    def flat_rays(x):
+        return x.reshape(G * TILE)[:R]
+
+    t = flat_rays(t)
+    u = flat_rays(u)
+    v = flat_rays(v)
+    pstream = flat_rays(prim)
+    hit = pstream >= 0
+    prim_orig = jnp.where(hit, flat.tri_perm[jnp.clip(pstream, 0, None)], -1)
+    return HitRecord(t=t, prim=prim_orig.astype(jnp.int32), u=u, v=v,
+                     hit=hit,
+                     inst=jnp.where(hit, 0, -1).astype(jnp.int32))
+
+
+def block_order(width: int, height: int, block_w: int = 32,
+                block_h: int = 32):
+    """Permutation mapping row-major pixel order -> 2D-block order, so a
+    1024-ray kernel tile covers a compact 32x32 screen block instead of a
+    1280-pixel row strip (orders of magnitude tighter node-visit unions
+    for primary/reflection waves).  Returns (order, inverse) as numpy."""
+    import numpy as np
+
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    by = ys // block_h
+    bx = xs // block_w
+    key = (((by * ((width + block_w - 1) // block_w) + bx)
+            * block_h + (ys % block_h)) * block_w + (xs % block_w))
+    order = np.argsort(key.ravel(), kind="stable").astype(np.int32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order), dtype=np.int32)
+    return order, inv
+
+
+def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi):
+    """Sort key for incoherent secondary waves: direction octant (3 bits)
+    then 30-bit Morton of the origin — groups rays into coherent tiles.
+    Returns (order, inverse_order)."""
+    from ..bvh.morton import morton3d
+
+    octant = ((ray_d[:, 0] >= 0).astype(jnp.uint32)
+              | ((ray_d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((ray_d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    code = morton3d(ray_o, scene_lo, scene_hi)
+    # single 32-bit key (no x64): 3 octant bits + top 29 Morton bits
+    key = (octant << jnp.uint32(29)) | (code >> jnp.uint32(1))
+    order = jnp.argsort(key)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return order, inv
+
+
+def trace_scene_pallas(flats, tlas, ray_o, ray_d, t_min, t_max,
+                       interpret: bool = False,
+                       sort: bool = False, scene_bounds=None) -> HitRecord:
+    """Closest hit across TLAS instances using the Pallas kernel.
+    Mirrors trace/traverse.py:trace_scene; optionally sorts the rays for
+    coherence and scatters results back."""
+    if sort:
+        lo, hi = scene_bounds
+        order, inv = sort_rays_morton(ray_o, ray_d, lo, hi)
+        ray_o = ray_o[order]
+        ray_d = ray_d[order]
+
+    best = None
+    for i, mesh_id in enumerate(tlas.mesh_ids):
+        inv_w = tlas.inv_worlds[i]
+        o = ray_o @ inv_w[:3, :3] + inv_w[3, :3]
+        d = ray_d @ inv_w[:3, :3]
+        # later instances are pruned by the best t so far (and keep the
+        # -1 masking of dead rays)
+        tm = t_max if best is None else best.t
+        rec = trace_rays_pallas(flats[mesh_id], o, d, t_min, tm,
+                                interpret=interpret)
+        rec = rec._replace(inst=jnp.where(rec.hit, i, -1).astype(jnp.int32))
+        if best is None:
+            best = rec
+        else:
+            closer = rec.hit & (rec.t < best.t)
+            best = HitRecord(
+                t=jnp.where(closer, rec.t, best.t),
+                prim=jnp.where(closer, rec.prim, best.prim),
+                u=jnp.where(closer, rec.u, best.u),
+                v=jnp.where(closer, rec.v, best.v),
+                hit=best.hit | rec.hit,
+                inst=jnp.where(closer, rec.inst, best.inst),
+            )
+
+    if sort:
+        best = HitRecord(*(x[inv] for x in best))
+    return best

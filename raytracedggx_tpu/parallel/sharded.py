@@ -87,6 +87,14 @@ class ShardedRenderer(Renderer):
         self.band = cfg.height // self.num_devices
         self.halo = int(min(halo, self.band))
 
+        # per-band screen-block ray order (band + halos)
+        if self.traversal == "pallas":
+            from ..ops.traverse_pallas import block_order
+            o, i = block_order(cfg.width, self.band + 2 * self.halo)
+            self.band_ray_order = (jnp.asarray(o), jnp.asarray(i))
+        else:
+            self.band_ray_order = None
+
         spec_img = P(AXIS)          # shard leading (row) axis
         spec_rep = P()
         state_specs = RenderState(history=spec_img, prev_wvp=spec_rep,
@@ -125,7 +133,8 @@ class ShardedRenderer(Renderer):
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
                              bary_mode=cfg.bary_mode, row0=row0,
-                             band_height=pad_h)
+                             band_height=pad_h, trace_fn=self.trace_fn,
+                             ray_order=self.band_ray_order)
         # rows outside the global image behave as OOB zeros
         rows_glob = row0 + jnp.arange(pad_h)
         valid = ((rows_glob >= 0) & (rows_glob < cfg.height)

@@ -30,6 +30,7 @@ class MeshGeom(NamedTuple):
 class SceneGeometry(NamedTuple):
     meshes: Tuple[MeshGeom, ...]
     blas: Tuple[LBVH, ...]
+    flat: Tuple = ()            # per-mesh FlatBVH (Pallas traversal layout)
 
     @property
     def tri_data(self):
@@ -50,15 +51,19 @@ def upload_mesh(mesh) -> MeshGeom:
     )
 
 
-def upload_scene(scene) -> SceneGeometry:
+def upload_scene(scene, leaf_size: int = 8) -> SceneGeometry:
     import jax
+
+    from ..ops.flatten import flatten_bvh
 
     meshes = tuple(upload_mesh(m) for m in scene.meshes)
     # jit the builds: eager dispatch of the radix-tree's many small ops is
     # ~100x slower on a remote backend
     build = jax.jit(build_lbvh)
     blas = tuple(build(m.positions, m.tri.reshape(-1)) for m in meshes)
-    return SceneGeometry(meshes=meshes, blas=blas)
+    flat = tuple(flatten_bvh(b, m.v0, m.e1, m.e2, leaf_size=leaf_size)
+                 for b, m in zip(blas, meshes))
+    return SceneGeometry(meshes=meshes, blas=blas, flat=flat)
 
 
 def fetch_vertices(geom: SceneGeometry, mesh_ids, inst, prim):

@@ -63,8 +63,43 @@ class MaterialsDev(NamedTuple):
     rough_metals: jnp.ndarray   # (I, 2)
 
 
+def default_tracer(geom: SceneGeometry):
+    """trace_fn(tlas, o, d, t_min, t_max) using the pure-JAX traversal."""
+    def fn(tlas, o, d, t_min, t_max):
+        t_max_s = t_max if jnp.ndim(t_max) == 0 else T_MAX
+        rec = trace_scene(geom.blas, geom.tri_data, tlas, o, d, t_min,
+                          t_max_s)
+        if jnp.ndim(t_max) != 0:   # apply per-ray masking afterwards
+            dead = t_max < 0
+            rec = rec._replace(hit=rec.hit & ~dead,
+                               inst=jnp.where(dead, -1, rec.inst))
+        return rec
+    return fn
+
+
+def pallas_tracer(geom: SceneGeometry, interpret: bool = False):
+    """trace_fn using the Pallas packet-traversal kernel (ops/)."""
+    from ..ops.traverse_pallas import trace_scene_pallas
+
+    def fn(tlas, o, d, t_min, t_max):
+        return trace_scene_pallas(geom.flat, tlas, o, d, t_min, t_max,
+                                  interpret=interpret)
+    return fn
+
+
 def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
+    """Trace with an optional ray permutation (2D screen-block order so
+    kernel tiles get compact frusta — ops/traverse_pallas.block_order)."""
+    if ray_order is None:
+        return trace_fn(tlas, o, d, t_min, t_max)
+    order, inv = ray_order
+    tm = t_max if jnp.ndim(t_max) == 0 else t_max[order]
+    rec = trace_fn(tlas, o[order], d[order], t_min, tm)
+    return type(rec)(*(x[inv] for x in rec))
 
 
 def calc_barycentrics(p, ndc):
@@ -152,7 +187,8 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
 
 def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
                     mats: MaterialsDev, width: int, height: int,
-                    bary_mode: str = "direct", row0=0, band_height=None):
+                    bary_mode: str = "direct", row0=0, band_height=None,
+                    trace_fn=None, ray_order=None):
     """Primary cast replacing the visibility raster + getPrimarySurface
     (RayTracing.hlsl:277-333).  Returns a dict of flat (R,) / (R, C) arrays.
 
@@ -178,8 +214,10 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
     p_near = world[..., :3] / world[..., 3:4]
     ray_d = _normalize(p_near - consts.eye)
 
-    rec = trace_scene(geom.blas, geom.tri_data, tlas,
-                      p_near, ray_d, 0.0, T_MAX)
+    if trace_fn is None:
+        trace_fn = default_tracer(geom)
+    rec = _trace_ordered(trace_fn, tlas, p_near, ray_d, 0.0, T_MAX,
+                         ray_order)
 
     mesh_ids = tlas.mesh_ids
     inst_c = jnp.clip(rec.inst, 0, len(mesh_ids) - 1)
@@ -243,16 +281,23 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
 def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    mats: MaterialsDev, env: EnvMap, sh_coeffs,
                    width: int, height: int, bary_mode: str = "direct",
-                   row0=0, band_height=None):
+                   row0=0, band_height=None, trace_fn=None, ray_order=None):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
     velocity, depth, vis.  row0/band_height restrict to a row band (the
     RNG stays keyed on global pixel ids, so bands tile deterministically).
+
+    trace_fn: (tlas, o, d, t_min, t_max) -> HitRecord (default: pure-JAX
+    traversal; the renderer passes the Pallas kernel).  ray_order: optional
+    (order, inverse) screen-block permutation for tile coherence.
     """
     if band_height is None:
         band_height = height
+    if trace_fn is None:
+        trace_fn = default_tracer(geom)
     surf = primary_surface(geom, tlas, consts, mats, width, height,
-                           bary_mode, row0=row0, band_height=band_height)
+                           bary_mode, row0=row0, band_height=band_height,
+                           trace_fn=trace_fn, ray_order=ray_order)
     hit = surf["hit"]
     n, v, p = surf["n"], surf["v"], surf["p"]
     rough, metal, color = surf["rough"], surf["metal"], surf["color"]
@@ -269,10 +314,11 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     r_dir = reflect(-v, h)
     nol = jnp.sum(n * r_dir, axis=-1)
     trace_dir = jnp.where(hit[..., None], r_dir, -v)  # sky: direction = -V
-    rec_r = trace_scene(geom.blas, geom.tri_data, tlas, p, trace_dir,
-                        T_MIN_SECONDARY, T_MAX)
-    # kill rays the reference never traced (miss -> env anyway for sky;
-    # hit pixels with NoL <= 0 contribute 0 below)
+    # rays the reference never traced are masked out (t_max = -1): sky
+    # pixels take env directly; NoL <= 0 hit pixels contribute 0 below
+    tmax_r = jnp.where(hit & (nol > 0.0), T_MAX, -1.0)
+    rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
+                           T_MIN_SECONDARY, tmax_r, ray_order)
     shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                                 rec_r, trace_dir, damp_diffuse_albedo=False)
     # closestHitReflection early-out (:573): payload seeded with
@@ -300,8 +346,9 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     # ---------------- diffuse wave (computeDiffuse, depth 0) -------------
     d_dir = cos_dir(n, xi)
     trace_dir_d = jnp.where(hit[..., None], d_dir, -v)
-    rec_d = trace_scene(geom.blas, geom.tri_data, tlas, p, trace_dir_d,
-                        T_MIN_SECONDARY, T_MAX)
+    tmax_d = jnp.where(hit & (metal < 1.0), T_MAX, -1.0)
+    rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
+                           T_MIN_SECONDARY, tmax_d, ray_order)
     shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                                 rec_d, trace_dir_d, damp_diffuse_albedo=True)
     env_d = sample_env(env, trace_dir_d, 0.0)
