@@ -58,6 +58,7 @@ class RenderConfig:
     kernels: str = "xla"            # "xla" | "pallas" (the 'V' toggle analog)
     traversal: str = "auto"         # "auto" | "pallas" | "jax"
     leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
+    sort_secondary: bool = True     # morton+octant sort for bounce waves
 
 
 class RenderState(NamedTuple):
@@ -160,7 +161,9 @@ class Renderer:
                              self.sh_coeffs, cfg.width, cfg.height,
                              bary_mode=cfg.bary_mode,
                              trace_fn=self.trace_fn,
-                             ray_order=self.ray_order)
+                             ray_order=self.ray_order,
+                             sort_secondary=(cfg.sort_secondary and
+                                             self.traversal == "pallas"))
 
         refl, diff = out["refl"], out["diff"]
         normal, rough_metal = out["normal"], out["rough_metal"]

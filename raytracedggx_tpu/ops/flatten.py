@@ -15,10 +15,10 @@ triangle array.
 
 Layout: the kernel fetches one node per step with a one-hot lane
 reduction (Mosaic only allows 128-aligned dynamic lane indices), so
-streams are stored lane-tiled:
-  nodes  (ceil(N/128), 8, 128) f32: node i -> [i//128, (lo.xyz,hi.xyz,0,0),
-                                               i%128]
-  meta   (ceil(N/128), 4, 128) i32: rows skip, tri_start, tri_count, pad
+streams are stored lane-tiled; node fields INCLUDING the int links are
+fused into one f32 tile so a visit costs a single load + reduction:
+  nodes  (ceil(N/128), 9, 128) f32: node i -> [i//128,
+           (lo.xyz, hi.xyz, skip, tri_start, tri_count), i%128]
   tris   (ceil(T/128), 9, 128) f32: rows v0, e1, e2, leaf-stream order
 Padding nodes have empty AABBs (+inf/-inf) and skip = N.  `tri_perm`
 maps stream position -> original triangle id (for prim ids / attributes).
@@ -33,8 +33,9 @@ import numpy as np
 
 
 class FlatBVH(NamedTuple):
-    nodes: jnp.ndarray     # (Nt, 8, 128) float32
-    meta: jnp.ndarray      # (Nt, 4, 128) int32
+    nodes: jnp.ndarray     # (Nt, 9, 128) float32: lo.xyz, hi.xyz, skip,
+                           #   tri_start, tri_count (ints stored exactly
+                           #   as f32 — counts < 2^24)
     tris: jnp.ndarray      # (Tt, 9, 128) float32
     tri_perm: jnp.ndarray  # (T,) int32 stream -> original triangle id
     num_nodes: int         # true node count (pre-padding)
@@ -105,14 +106,16 @@ def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
         sys.setrecursionlimit(old)
 
     N = len(nodes)
-    # fix skip links: skip[i] = index after i's subtree. Since emit appended
-    # meta[idx][0] = len(nodes) AFTER the subtree was emitted, it is already
-    # the correct skip.
-    node_arr = np.zeros((N, 8), np.float32)
+    # skip[i] = index after i's subtree; emit recorded len(nodes) AFTER the
+    # subtree was emitted, which is exactly that.
+    meta_arr = np.asarray(meta, np.int32)
+    node_arr = np.zeros((N, 9), np.float32)
     for i, (lo, hi) in enumerate(nodes):
         node_arr[i, :3] = lo
         node_arr[i, 3:6] = hi
-    meta_arr = np.asarray(meta, np.int32)
+    node_arr[:, 6] = meta_arr[:, 0].astype(np.float32)   # skip
+    node_arr[:, 7] = meta_arr[:, 1].astype(np.float32)   # tri_start
+    node_arr[:, 8] = meta_arr[:, 2].astype(np.float32)   # tri_count
 
     perm = np.asarray(tri_stream, np.int64)
     v0 = np.asarray(tri_v0)[perm]
@@ -129,23 +132,15 @@ def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
         return out.reshape(-1, 128, cols).transpose(0, 2, 1).copy()
 
     # padding nodes: empty AABB (never hit), skip = N (terminates)
-    node_pad = np.zeros(8, np.float32)
-    node_pad[:3] = np.inf
-    node_pad[3:6] = -np.inf
-    nodes_t = lane_tile(node_arr, 0.0)
-    n_pad_rows = nodes_t.shape[0] * 128 - N
+    n_pad_rows = (-(-N // 128)) * 128 - N
     if n_pad_rows:
-        padded = np.full((n_pad_rows, 8), 0, np.float32)
-        padded[:] = node_pad
-        nodes_t = lane_tile(np.concatenate([node_arr, padded]), 0.0)
-        meta_pad = np.zeros((n_pad_rows, 4), np.int32)
-        meta_pad[:, 0] = N
-        meta_t = lane_tile(np.concatenate([meta_arr, meta_pad]), 0)
-    else:
-        meta_t = lane_tile(meta_arr, 0)
+        node_pad = np.zeros((n_pad_rows, 9), np.float32)
+        node_pad[:, :3] = np.inf
+        node_pad[:, 3:6] = -np.inf
+        node_pad[:, 6] = N
+        node_arr = np.concatenate([node_arr, node_pad])
 
-    return FlatBVH(nodes=jnp.asarray(nodes_t),
-                   meta=jnp.asarray(meta_t),
+    return FlatBVH(nodes=jnp.asarray(lane_tile(node_arr, 0.0)),
                    tris=jnp.asarray(lane_tile(tris, 0.0)),
                    tri_perm=jnp.asarray(perm, jnp.int32),
                    num_nodes=N)

@@ -36,7 +36,7 @@ TILE_S, TILE_L = 8, 128
 TILE = TILE_S * TILE_L
 
 
-def _traverse_kernel(nodes_ref, meta_ref, tris_ref, rays_ref,
+def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
                      t_ref, u_ref, v_ref, prim_ref, *,
                      num_nodes, t_min):
     ox = rays_ref[0, 0]
@@ -57,25 +57,19 @@ def _traverse_kernel(nodes_ref, meta_ref, tris_ref, rays_ref,
     iy = safe_inv(dy)
     iz = safe_inv(dz)
 
-    lanes8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    lanes4 = lax.broadcasted_iota(jnp.int32, (4, 128), 1)
     lanes9 = lax.broadcasted_iota(jnp.int32, (9, 128), 1)
 
     def body(carry):
         i, bt, bu, bv, bp = carry
         # fetch node i: dynamic tile index + one-hot lane reduction
-        # (Mosaic only supports 128-aligned dynamic lane slices)
-        tile = i >> 7
-        lane = i & 127
-        ntile = nodes_ref[tile]                       # (8, 128)
-        col = jnp.sum(jnp.where(lanes8 == lane, ntile, 0.0),
-                      axis=1)                          # (8,)
-        mtile = meta_ref[tile]                         # (4, 128)
-        mcol = jnp.sum(jnp.where(lanes4 == lane, mtile, 0),
-                       axis=1)                         # (4,)
-        skip = mcol[0]
-        tstart = mcol[1]
-        tcount = mcol[2]
+        # (Mosaic only supports 128-aligned dynamic lane slices); links
+        # ride the same f32 tile (exact for < 2^24)
+        ntile = nodes_ref[i >> 7]                      # (9, 128)
+        col = jnp.sum(jnp.where(lanes9 == (i & 127), ntile, 0.0),
+                      axis=1)                          # (9,)
+        skip = col[6].astype(jnp.int32)
+        tstart = col[7].astype(jnp.int32)
+        tcount = col[8].astype(jnp.int32)
 
         t0x = (col[0] - ox) * ix
         t1x = (col[3] - ox) * ix
@@ -192,7 +186,6 @@ def trace_rays_pallas(flat: FlatBVH, ray_o, ray_d, t_min, t_max,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # meta
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
             pl.BlockSpec((1, 7, TILE_S, TILE_L),
                          lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -200,7 +193,7 @@ def trace_rays_pallas(flat: FlatBVH, ray_o, ray_d, t_min, t_max,
         out_specs=[tile_spec(), tile_spec(), tile_spec(), tile_spec()],
         out_shape=out_shape,
         interpret=interpret,
-    )(flat.nodes, flat.meta, flat.tris, rays)
+    )(flat.nodes, flat.tris, rays)
 
     def flat_rays(x):
         return x.reshape(G * TILE)[:R]

@@ -281,7 +281,8 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
 def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    mats: MaterialsDev, env: EnvMap, sh_coeffs,
                    width: int, height: int, bary_mode: str = "direct",
-                   row0=0, band_height=None, trace_fn=None, ray_order=None):
+                   row0=0, band_height=None, trace_fn=None, ray_order=None,
+                   sort_secondary=False):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
     velocity, depth, vis.  row0/band_height restrict to a row band (the
@@ -317,8 +318,20 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     # rays the reference never traced are masked out (t_max = -1): sky
     # pixels take env directly; NoL <= 0 hit pixels contribute 0 below
     tmax_r = jnp.where(hit & (nol > 0.0), T_MAX, -1.0)
+
+    def secondary_order(dirs):
+        """Morton+octant sort for incoherent waves (kernel-tile coherence;
+        trades an argsort for smaller node-visit unions)."""
+        if not sort_secondary:
+            return ray_order
+        from ..ops.traverse_pallas import sort_rays_morton
+        lo = jnp.min(tlas.aabb_min, axis=0)
+        hi = jnp.max(tlas.aabb_max, axis=0)
+        return sort_rays_morton(p, dirs, lo, hi)
+
     rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
-                           T_MIN_SECONDARY, tmax_r, ray_order)
+                           T_MIN_SECONDARY, tmax_r,
+                           secondary_order(trace_dir))
     shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                                 rec_r, trace_dir, damp_diffuse_albedo=False)
     # closestHitReflection early-out (:573): payload seeded with
@@ -348,7 +361,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     trace_dir_d = jnp.where(hit[..., None], d_dir, -v)
     tmax_d = jnp.where(hit & (metal < 1.0), T_MAX, -1.0)
     rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
-                           T_MIN_SECONDARY, tmax_d, ray_order)
+                           T_MIN_SECONDARY, tmax_d,
+                           secondary_order(trace_dir_d))
     shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                                 rec_d, trace_dir_d, damp_diffuse_albedo=True)
     env_d = sample_env(env, trace_dir_d, 0.0)

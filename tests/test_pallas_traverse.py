@@ -25,11 +25,12 @@ def test_flatten_covers_all_triangles(rng, leaf_size):
                        tri[:, 2] - tri[:, 0], leaf_size=leaf_size)
     perm = np.asarray(flat.tri_perm)
     assert sorted(perm) == list(range(130))
-    meta = np.asarray(flat.meta)            # (Nt, 4, 128)
-    skip = meta[:, 0].reshape(-1)[:flat.num_nodes]
-    count = meta[:, 2].reshape(-1)[:flat.num_nodes]
+    nodes = np.asarray(flat.nodes)          # (Nt, 9, 128)
+    skip = nodes[:, 6].reshape(-1)[:flat.num_nodes].astype(np.int64)
+    count = nodes[:, 8].reshape(-1)[:flat.num_nodes].astype(np.int64)
     # leaf triangle ranges partition the stream
-    starts = meta[:, 1].reshape(-1)[:flat.num_nodes][count > 0]
+    starts = nodes[:, 7].reshape(-1)[:flat.num_nodes].astype(np.int64)[
+        count > 0]
     counts = count[count > 0]
     order = np.argsort(starts)
     assert np.all(starts[order] == np.concatenate(
