@@ -99,16 +99,28 @@ def _reflection_pass(src_tm, normal, rough, depth, axis, width, height):
     return mu, hit_c
 
 
-def reflection_spatial_filter(refl, normal, rough, depth, width, height):
+def reflection_spatial_filter(refl, normal, rough, depth, width, height,
+                              impl: str = "xla", interpret: bool = False):
     """H then V pass (Denoiser::reflectionSpatialFilter, Denoiser.cpp:361-409).
     refl: (H, W, 3) raw radiance. Returns (H, W, 4): rgb filtered + hit mask
-    alpha (CSSpatial_V_Refl.hlsl:16-59)."""
+    alpha (CSSpatial_V_Refl.hlsl:16-59).
+
+    impl="pallas" selects the VMEM-tiled kernels (ops/spatial_pallas.py) —
+    the reference's shared-memory '[V]' toggle analog; identical math."""
+    if impl == "pallas":
+        from ..ops.spatial_pallas import reflection_pass_pallas as rp
+
+        def _pass(src, normal, rough, depth, axis, width, height):
+            return rp(src, normal, rough, depth, width, height, axis,
+                      interpret=interpret)
+    else:
+        _pass = _reflection_pass
     src_tm = tm(refl)
-    h_out, hit = _reflection_pass(src_tm, normal, rough, depth, axis=1,
-                                  width=width, height=height)
+    h_out, hit = _pass(src_tm, normal, rough, depth, axis=1,
+                       width=width, height=height)
     h_out = jnp.where(hit[..., None], h_out, 0.0)
-    v_out, hit = _reflection_pass(h_out, normal, rough, depth, axis=0,
-                                  width=width, height=height)
+    v_out, hit = _pass(h_out, normal, rough, depth, axis=0,
+                       width=width, height=height)
     filtered = jnp.concatenate([itm(v_out), jnp.ones_like(v_out[..., :1])],
                                axis=-1)
     passthrough = jnp.concatenate([refl, jnp.zeros_like(refl[..., :1])],
@@ -138,15 +150,23 @@ def _diffuse_pass(src_tm, normal, metal, depth, axis):
     return mu, hit_c
 
 
-def diffuse_spatial_filter(diff, filtered_refl, normal, metal, depth):
+def diffuse_spatial_filter(diff, filtered_refl, normal, metal, depth,
+                           impl: str = "xla", interpret: bool = False):
     """H then V diffuse pass, compositing the filtered reflection:
     out = filtered_refl.rgb + ITM(mu), alpha = filtered_refl.a
     (CSSpatial_V_Diff.hlsl:17-59). Pixels failing the gate pass
     filtered_refl through unchanged."""
+    if impl == "pallas":
+        from ..ops.spatial_pallas import diffuse_pass_pallas as dp
+
+        def _pass(src, normal, metal, depth, axis):
+            return dp(src, normal, metal, depth, axis, interpret=interpret)
+    else:
+        _pass = _diffuse_pass
     src_tm = tm(diff)
-    h_out, gate = _diffuse_pass(src_tm, normal, metal, depth, axis=1)
+    h_out, gate = _pass(src_tm, normal, metal, depth, axis=1)
     h_out = jnp.where(gate[..., None], h_out, 0.0)
-    v_out, gate = _diffuse_pass(h_out, normal, metal, depth, axis=0)
+    v_out, gate = _pass(h_out, normal, metal, depth, axis=0)
     composite = jnp.concatenate(
         [filtered_refl[..., :3] + itm(v_out), filtered_refl[..., 3:4]],
         axis=-1)

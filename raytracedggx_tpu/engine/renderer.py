@@ -182,9 +182,10 @@ class Renderer:
 
         if cfg.spatial:
             flt_rfl = reflection_spatial_filter(
-                refl, normal, rough, depth, cfg.width, cfg.height)
+                refl, normal, rough, depth, cfg.width, cfg.height,
+                impl=cfg.kernels)
             flt_dff = diffuse_spatial_filter(
-                diff, flt_rfl, normal, metal, depth)
+                diff, flt_rfl, normal, metal, depth, impl=cfg.kernels)
         else:
             # temporal-only config (BASELINE config 1): composite directly
             hit = normal[..., 3:4]

@@ -228,18 +228,21 @@ def block_order(width: int, height: int, block_w: int = 32,
     return order, inv
 
 
-def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi):
-    """Sort key for incoherent secondary waves: direction octant (3 bits)
-    then 30-bit Morton of the origin — groups rays into coherent tiles.
-    Returns (order, inverse_order)."""
+def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None):
+    """Sort key for incoherent secondary waves: dead rays last (so they
+    compact into tiles that terminate after the root test), then direction
+    octant (3 bits), then Morton of the origin — groups live rays into
+    coherent kernel tiles.  Returns (order, inverse_order)."""
     from ..bvh.morton import morton3d
 
     octant = ((ray_d[:, 0] >= 0).astype(jnp.uint32)
               | ((ray_d[:, 1] >= 0).astype(jnp.uint32) << 1)
               | ((ray_d[:, 2] >= 0).astype(jnp.uint32) << 2))
     code = morton3d(ray_o, scene_lo, scene_hi)
-    # single 32-bit key (no x64): 3 octant bits + top 29 Morton bits
-    key = (octant << jnp.uint32(29)) | (code >> jnp.uint32(1))
+    # single 32-bit key (no x64): 1 dead bit + 3 octant bits + 28 Morton
+    key = (octant << jnp.uint32(28)) | (code >> jnp.uint32(2))
+    if active is not None:
+        key = jnp.where(active, key, key | jnp.uint32(1 << 31))
     order = jnp.argsort(key)
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))

@@ -319,19 +319,20 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     # pixels take env directly; NoL <= 0 hit pixels contribute 0 below
     tmax_r = jnp.where(hit & (nol > 0.0), T_MAX, -1.0)
 
-    def secondary_order(dirs):
-        """Morton+octant sort for incoherent waves (kernel-tile coherence;
-        trades an argsort for smaller node-visit unions)."""
+    def secondary_order(dirs, tmax):
+        """Morton+octant sort with dead-ray compaction for bounce waves
+        (kernel-tile coherence; trades an argsort for smaller node-visit
+        unions)."""
         if not sort_secondary:
             return ray_order
         from ..ops.traverse_pallas import sort_rays_morton
         lo = jnp.min(tlas.aabb_min, axis=0)
         hi = jnp.max(tlas.aabb_max, axis=0)
-        return sort_rays_morton(p, dirs, lo, hi)
+        return sort_rays_morton(p, dirs, lo, hi, active=tmax > 0)
 
     rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
                            T_MIN_SECONDARY, tmax_r,
-                           secondary_order(trace_dir))
+                           secondary_order(trace_dir, tmax_r))
     shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                                 rec_r, trace_dir, damp_diffuse_albedo=False)
     # closestHitReflection early-out (:573): payload seeded with
@@ -362,7 +363,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     tmax_d = jnp.where(hit & (metal < 1.0), T_MAX, -1.0)
     rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
                            T_MIN_SECONDARY, tmax_d,
-                           secondary_order(trace_dir_d))
+                           secondary_order(trace_dir_d, tmax_d))
     shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                                 rec_d, trace_dir_d, damp_diffuse_albedo=True)
     env_d = sample_env(env, trace_dir_d, 0.0)

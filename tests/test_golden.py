@@ -1,0 +1,63 @@
+"""Golden-image regression: full pipeline on the deterministic cube scene.
+
+The reference's analog is WARP renders + the F11 screenshot harness
+(SURVEY.md §4).  Scene: ground slab + floating cube 'model', procedural
+sky, 3 animated frames at 96x54 with spatial+temporal denoise.  Any
+behavioral change to trace/shade/denoise/tonemap shows up here.
+
+Regenerate intentionally with:
+  python tests/test_golden.py --regen
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "cube_scene_96x54_f3.png")
+W, H, FRAMES = 96, 54, 3
+
+
+def render():
+    from raytracedggx_tpu.scene import Scene, default_materials
+    from raytracedggx_tpu.scene.mesh import ground_cube
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    scene = Scene(meshes=[ground_cube(), ground_cube()],
+                  materials=default_materials(),
+                  pos_scale=np.array([0, 3.0, 0, 1.0], np.float32))
+    r = Renderer(scene, config=RenderConfig(width=W, height=H))
+    state = r.init_state()
+    frame = None
+    for _ in range(FRAMES):
+        state, frame, _ = r.step(state, 1 / 60)
+    return np.clip(np.asarray(frame), 0, 1)
+
+
+def test_golden_cube_scene():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden image not generated yet")
+    from PIL import Image
+
+    got = render()
+    want = np.asarray(Image.open(GOLDEN)).astype(np.float32) / 255.0
+    # allow 8-bit quantization + tiny cross-backend fp drift
+    diff = np.abs(got - want)
+    assert diff.max() < 0.02, f"max pixel diff {diff.max():.4f}"
+    assert diff.mean() < 0.002
+
+
+if __name__ == "__main__":
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if "--regen" in sys.argv:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from raytracedggx_tpu.io import write_png
+
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        write_png(GOLDEN, render())
+        print("wrote", GOLDEN)
