@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--kernels", choices=["xla", "pallas"], default="xla",
                    help="filter implementation (the V-toggle analog)")
     p.add_argument("--stats", action="store_true", help="print fps line")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the run")
+    p.add_argument("--stage-times", action="store_true",
+                   help="print per-stage wall times (GPU-timestamp analog)")
     return p.parse_args(argv)
 
 
@@ -100,6 +104,17 @@ def main(argv=None):
     state = r.init_state()
     stats = FrameStats()
 
+    if args.stage_times:
+        from .profiler import time_stages
+        for k, v in time_stages(r, state).items():
+            print(f"{k}: {v:.1f}")
+
+    profile_ctx = None
+    if args.profile:
+        from .profiler import trace_frames
+        profile_ctx = trace_frames(args.profile)
+        profile_ctx.__enter__()
+
     frame = None
     dt = 0.0 if args.pause else args.dt
     for i in range(args.frames):
@@ -113,6 +128,9 @@ def main(argv=None):
             print(stats.title(mesh=os.path.basename(mesh_file)))
 
     frame.block_until_ready()
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace in {args.profile}")
     write_png(args.out, np.clip(np.asarray(frame), 0, 1))
     print(f"wrote {args.out} ({args.frames} frames, "
           f"{cfg.width}x{cfg.height})")

@@ -59,6 +59,37 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
 
     lanes9 = lax.broadcasted_iota(jnp.int32, (9, 128), 1)
 
+    # ---- tile frustum (scalar bounds over the LIVE rays) -----------------
+    # Dead rays (t_max < 0) are excluded so they don't widen the bundle.
+    live = tmax0 >= 0.0
+    big = jnp.float32(3e38)
+
+    def mn(v):
+        return jnp.min(jnp.where(live, v, big))
+
+    def mx(v):
+        return jnp.max(jnp.where(live, v, -big))
+
+    ob = ((mn(ox), mx(ox)), (mn(oy), mx(oy)), (mn(oz), mx(oz)))
+    ib = ((mn(ix), mx(ix)), (mn(iy), mx(iy)), (mn(iz), mx(iz)))
+    t_cap = mx(tmax0)
+
+    def interval_slab(lo, hi, o_b, i_b):
+        """Conservative per-axis [entry_min, exit_max] over the bundle."""
+        a0, a1 = lo - o_b[1], lo - o_b[0]     # lo - o interval
+        b0, b1 = hi - o_b[1], hi - o_b[0]
+        i0, i1 = i_b
+        # products of intervals (scalars; 8 muls)
+        p = (a0 * i0, a0 * i1, a1 * i0, a1 * i1)
+        q = (b0 * i0, b0 * i1, b1 * i0, b1 * i1)
+        lo_t = jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3]))
+        lo_u = jnp.minimum(jnp.minimum(q[0], q[1]), jnp.minimum(q[2], q[3]))
+        hi_t = jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3]))
+        hi_u = jnp.maximum(jnp.maximum(q[0], q[1]), jnp.maximum(q[2], q[3]))
+        entry_min = jnp.minimum(lo_t, lo_u)   # min over rays of slab entry
+        exit_max = jnp.maximum(hi_t, hi_u)    # max over rays of slab exit
+        return entry_min, exit_max
+
     def body(carry):
         i, bt, bu, bv, bp = carry
         # fetch node i: dynamic tile index + one-hot lane reduction
@@ -71,20 +102,35 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
         tstart = col[7].astype(jnp.int32)
         tcount = col[8].astype(jnp.int32)
 
-        t0x = (col[0] - ox) * ix
-        t1x = (col[3] - ox) * ix
-        t0y = (col[1] - oy) * iy
-        t1y = (col[4] - oy) * iy
-        t0z = (col[2] - oz) * iz
-        t1z = (col[5] - oz) * iz
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.minimum(t0z, t1z))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                       jnp.maximum(t0y, t1y)),
-                           jnp.maximum(t0z, t1z))
-        hit = (tnear <= tfar) & (tfar >= t_min) & (tnear <= bt)
-        anyhit = jnp.any(hit)
+        # scalar frustum pre-test: if the whole bundle's conservative
+        # interval misses this AABB, skip without touching the VPU
+        ex, xx = interval_slab(col[0], col[3], ob[0], ib[0])
+        ey, xy = interval_slab(col[1], col[4], ob[1], ib[1])
+        ez, xz = interval_slab(col[2], col[5], ob[2], ib[2])
+        f_near = jnp.maximum(jnp.maximum(ex, ey), ez)
+        f_far = jnp.minimum(jnp.minimum(xx, xy), xz)
+        maybe = (f_near <= f_far) & (f_far >= t_min) & (f_near <= t_cap)
+
+        def full_test(_):
+            t0x = (col[0] - ox) * ix
+            t1x = (col[3] - ox) * ix
+            t0y = (col[1] - oy) * iy
+            t1y = (col[4] - oy) * iy
+            t0z = (col[2] - oz) * iz
+            t1z = (col[5] - oz) * iz
+            tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                            jnp.minimum(t0y, t1y)),
+                                jnp.minimum(t0z, t1z))
+            tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            hit = (tnear <= tfar) & (tfar >= t_min) & (tnear <= bt)
+            return hit, jnp.any(hit)
+
+        hit, anyhit = lax.cond(
+            maybe, full_test,
+            lambda _: (jnp.zeros((TILE_S, TILE_L), jnp.bool_), False),
+            None)
         is_leaf = tcount > 0
 
         def leaf(args):
