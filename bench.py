@@ -50,7 +50,9 @@ def main():
     t0 = time.time()
     for _ in range(frames):
         state, frame, _ = r.step(state)
-    frame.block_until_ready()
+    # force full materialization on the host — block_until_ready alone has
+    # proven unreliable on the tunneled backend
+    np.asarray(frame)
     dt = (time.time() - t0) / frames
 
     rays_per_frame = w * h * 3  # primary + reflection + diffuse waves

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("-mesh", nargs="+", default=None,
                    help="<file> [x y z scale]")
     p.add_argument("-env", default=None, help="DDS environment cube map")
+    p.add_argument("-warp", action="store_true",
+                   help="force the CPU backend (the reference's WARP "
+                        "software-device fallback analog)")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=64)
@@ -63,6 +66,12 @@ DEFAULT_ENV = "/root/reference/Bin/Assets/rnl_cross.dds"
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.warp:
+        # device 'downgrade chain' analog (RayTracedGGX.cpp:98-132):
+        # render entirely on the host CPU backend
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
