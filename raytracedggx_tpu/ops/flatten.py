@@ -39,6 +39,14 @@ class FlatBVH(NamedTuple):
     tris: jnp.ndarray      # (Tt, 9, 128) float32
     tri_perm: jnp.ndarray  # (T,) int32 stream -> original triangle id
     num_nodes: int         # true node count (pre-padding)
+    # refit support (refit_flat_bvh): every DFS node covers a contiguous
+    # triangle-stream range; its AABB is a range min/max over per-triangle
+    # AABBs answered by two power-of-two sparse-table windows whose
+    # (level, starts) are precomputed here
+    refit_level: jnp.ndarray = None  # (N,) int32
+    refit_a: jnp.ndarray = None      # (N,) int32
+    refit_b: jnp.ndarray = None      # (N,) int32
+    links: jnp.ndarray = None        # (Npad, 3) f32 static skip/start/count
 
 
 def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
@@ -79,10 +87,13 @@ def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
                 stack.append(left[v])
         return out
 
+    ranges = []
+
     def emit(node):
         idx = len(nodes)
         nodes.append((amin[node], amax[node]))
         meta.append([0, 0, 0, 0])
+        ranges.append([len(tri_stream), 0])
         is_leaf = node >= n_int
         if is_leaf or counts[node] <= leaf_size:
             tris = leaves_of(node)
@@ -92,13 +103,14 @@ def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
         else:
             emit(left[node])
             emit(right[node])
-        meta[idx][0] = len(nodes)  # provisional; fixed below
+        meta[idx][0] = len(nodes)
+        ranges[idx][1] = len(tri_stream)
         return idx
 
-    # iterative DFS to avoid Python recursion limits
+    # recursion depth == tree height <= 64, but leave headroom
     import sys
     old = sys.getrecursionlimit()
-    sys.setrecursionlimit(10 ** 6)
+    sys.setrecursionlimit(10 ** 5)
     try:
         root = 0 if n > 1 else n_int
         emit(root)
@@ -140,7 +152,77 @@ def flatten_bvh(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> FlatBVH:
         node_pad[:, 6] = N
         node_arr = np.concatenate([node_arr, node_pad])
 
+    # refit metadata: per-node RMQ windows over the triangle stream
+    rng_arr = np.asarray(ranges, np.int64)
+    length = np.maximum(rng_arr[:, 1] - rng_arr[:, 0], 1)
+    level = np.floor(np.log2(length)).astype(np.int32)
+    refit_a = rng_arr[:, 0].astype(np.int32)
+    refit_b = (rng_arr[:, 1] - (1 << level.astype(np.int64))
+               ).astype(np.int32)
+
     return FlatBVH(nodes=jnp.asarray(lane_tile(node_arr, 0.0)),
                    tris=jnp.asarray(lane_tile(tris, 0.0)),
                    tri_perm=jnp.asarray(perm, jnp.int32),
-                   num_nodes=N)
+                   num_nodes=N,
+                   refit_level=jnp.asarray(level),
+                   refit_a=jnp.asarray(refit_a),
+                   refit_b=jnp.asarray(refit_b),
+                   links=jnp.asarray(node_arr[:, 6:9]))
+
+
+def refit_flat_bvh(flat: FlatBVH, positions, indices) -> FlatBVH:
+    """Refit the flattened BVH for deformed vertices (topology unchanged) —
+    the DXR BLAS-update analog for the Pallas traversal path.  Fully
+    vectorized: per-triangle AABBs in stream order, a log2(T) sparse
+    min/max table, two-window range queries per node, then repack the
+    lane-tiled node/tri streams."""
+    tri = jnp.asarray(indices, jnp.int32).reshape(-1, 3)
+    pos = jnp.asarray(positions, jnp.float32)
+    v = pos[tri][flat.tri_perm]                  # (T, 3, 3) stream order
+    t_lo = v.min(axis=1)
+    t_hi = v.max(axis=1)
+    T = t_lo.shape[0]
+
+    # sparse tables
+    max_level = int(np.floor(np.log2(max(T, 1)))) if T > 1 else 0
+    lo_tabs = [t_lo]
+    hi_tabs = [t_hi]
+    for k in range(1, max_level + 1):
+        half = 1 << (k - 1)
+        prev_lo, prev_hi = lo_tabs[-1], hi_tabs[-1]
+        n_k = T - (1 << k) + 1
+        if n_k <= 0:
+            break
+        lo_tabs.append(jnp.minimum(prev_lo[:n_k], prev_lo[half:half + n_k]))
+        hi_tabs.append(jnp.maximum(prev_hi[:n_k], prev_hi[half:half + n_k]))
+
+    N = flat.num_nodes
+    lo = jnp.zeros((N, 3), jnp.float32)
+    hi = jnp.zeros((N, 3), jnp.float32)
+    for k in range(len(lo_tabs)):
+        sel = flat.refit_level == k
+        a = jnp.clip(flat.refit_a, 0, lo_tabs[k].shape[0] - 1)
+        b = jnp.clip(flat.refit_b, 0, lo_tabs[k].shape[0] - 1)
+        lo = jnp.where(sel[:, None],
+                       jnp.minimum(lo_tabs[k][a], lo_tabs[k][b]), lo)
+        hi = jnp.where(sel[:, None],
+                       jnp.maximum(hi_tabs[k][a], hi_tabs[k][b]), hi)
+
+    # repack node stream (pad rows keep their never-hit boxes)
+    n_pad = flat.links.shape[0]
+    pad_lo = jnp.full((n_pad - N, 3), jnp.inf, jnp.float32)
+    pad_hi = jnp.full((n_pad - N, 3), -jnp.inf, jnp.float32)
+    node_arr = jnp.concatenate(
+        [jnp.concatenate([lo, pad_lo]), jnp.concatenate([hi, pad_hi]),
+         flat.links], axis=1)                    # (Npad, 9)
+    nodes = node_arr.reshape(-1, 128, 9).transpose(0, 2, 1)
+
+    # repack deformed triangle stream
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    tris = jnp.concatenate([v[:, 0], e1, e2], axis=1)   # (T, 9)
+    t_pad = -(-T // 128) * 128 - T
+    tris = jnp.concatenate([tris, jnp.zeros((t_pad, 9), jnp.float32)])
+    tris = tris.reshape(-1, 128, 9).transpose(0, 2, 1)
+
+    return flat._replace(nodes=nodes, tris=tris)

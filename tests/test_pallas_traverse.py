@@ -89,3 +89,31 @@ def test_block_order_is_permutation():
     # first 1024 entries form a 32x32 block
     ys, xs = np.divmod(order[:1024], 64)
     assert ys.max() - ys.min() == 31 and xs.max() - xs.min() == 31
+
+
+def test_refit_flat_bvh_matches_rebuild(rng):
+    from raytracedggx_tpu.ops import refit_flat_bvh
+    pos, idx = random_tris(rng, 97)
+    bvh = build_lbvh(pos, idx)
+    tri = pos[idx.reshape(-1, 3)]
+    flat = flatten_bvh(bvh, tri[:, 0], tri[:, 1] - tri[:, 0],
+                       tri[:, 2] - tri[:, 0], leaf_size=4)
+    # deform: shift + scale
+    pos2 = pos * 1.3 + np.array([2.0, -1.0, 0.5], np.float32)
+    flat2 = refit_flat_bvh(flat, pos2, idx)
+    # traversal against the refit structure == brute force on new verts
+    tri2 = pos2[idx.reshape(-1, 3)]
+    v0 = jnp.asarray(tri2[:, 0])
+    e1 = jnp.asarray(tri2[:, 1] - tri2[:, 0])
+    e2 = jnp.asarray(tri2[:, 2] - tri2[:, 0])
+    R = 512
+    o = jnp.asarray(((rng.random((R, 3)) - 0.5) * 30).astype(np.float32))
+    d = rng.standard_normal((R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    a = trace_rays_pallas(flat2, o, jnp.asarray(d), 1e-4, 1e4,
+                          interpret=True)
+    b = trace_bruteforce(v0, e1, e2, o, jnp.asarray(d), 1e-4, 1e4)
+    assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    m = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m],
+                               rtol=1e-4)
