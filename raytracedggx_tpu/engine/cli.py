@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="also save every Nth frame (F11 analog)")
     p.add_argument("--metallic", nargs=2, action="append", default=[],
                    metavar=("MESH", "VALUE"), help="set mesh metallic")
+    p.add_argument("--extra-instance", nargs=4, action="append", default=[],
+                   metavar=("X", "Y", "Z", "SCALE"),
+                   help="add another animated model instance "
+                        "(multi-instance TLAS)")
     p.add_argument("--no-spatial", action="store_true")
     p.add_argument("--no-temporal", action="store_true")
     p.add_argument("--bary", choices=["direct", "ndc"], default="direct")
@@ -99,7 +103,10 @@ def main(argv=None):
             print(f"warning: env load failed ({e}); procedural sky",
                   file=sys.stderr)
 
-    scene = Scene.create(mesh_file, pos_scale=pos_scale)
+    scene = Scene.create(mesh_file, pos_scale=pos_scale,
+                         extra_instances=tuple(
+                             tuple(float(v) for v in e)
+                             for e in args.extra_instance))
     for midx, val in args.metallic:
         scene.materials.set_metallic(int(midx), float(val))
 

@@ -104,9 +104,10 @@ class Renderer:
         mip0 = np.asarray(self.env.data[:6 * s0 * s0]).reshape(6, s0, s0, 3)
         self.sh_coeffs = project_sh9(jnp.asarray(mip0))
 
+        inst_mats = scene.instance_materials()
         self.materials = MaterialsDev(
-            base_colors=jnp.asarray(scene.materials.base_colors),
-            rough_metals=jnp.asarray(scene.materials.rough_metals))
+            base_colors=jnp.asarray(inst_mats.base_colors),
+            rough_metals=jnp.asarray(inst_mats.rough_metals))
 
         self.view_proj = jnp.asarray(self.camera.view_proj())
         self.proj_to_world = m3.inverse(self.view_proj)
@@ -155,7 +156,7 @@ class Renderer:
 
         # TLAS refit — the async-compute-queue update (RayTracer.cpp:326-341)
         tlas = build_tlas(list(self.geom.blas), worlds,
-                          mesh_ids=tuple(range(len(self.geom.blas))))
+                          mesh_ids=self.scene.mesh_ids)
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
@@ -222,9 +223,12 @@ class Renderer:
                           self.materials.rough_metals)
 
     def set_metallic(self, mesh_idx: int, metallic: float):
-        """RayTracer::SetMetallic (RayTracer.cpp:243-247)."""
+        """RayTracer::SetMetallic (RayTracer.cpp:243-247). Per-mesh: every
+        instance of the mesh updates (instances share mesh materials)."""
         rm = np.asarray(self.materials.rough_metals).copy()
-        rm[mesh_idx, 1] = np.clip(metallic, 0.0, 1.0)
+        for inst, mid in enumerate(self.scene.mesh_ids):
+            if mid == mesh_idx:
+                rm[inst, 1] = np.clip(metallic, 0.0, 1.0)
         self.materials = self.materials._replace(
             rough_metals=jnp.asarray(rm))
 

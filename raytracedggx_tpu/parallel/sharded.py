@@ -125,7 +125,7 @@ class ShardedRenderer(Renderer):
         consts, worlds, wvp = self._constants(state, angle)
         mats = self.materials._replace(rough_metals=rough_metals)
         tlas = build_tlas(list(self.geom.blas), worlds,
-                          mesh_ids=tuple(range(len(self.geom.blas))))
+                          mesh_ids=self.scene.mesh_ids)
 
         # render band + halo overlap (recompute: zero G-buffer traffic)
         row0 = idx * band - halo

@@ -33,23 +33,46 @@ class Scene:
     materials: Materials
     pos_scale: np.ndarray = field(
         default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0], np.float32))
+    # additional animated model instances (multi-instance TLAS — BASELINE
+    # config 5); each entry is a (x, y, z, scale) like pos_scale
+    extra_instances: tuple = ()
 
     @staticmethod
     def create(model_path: str, pos_scale=(0.0, 0.0, 0.0, 1.0),
-               materials: Materials | None = None) -> "Scene":
+               materials: Materials | None = None,
+               extra_instances: tuple = ()) -> "Scene":
         return Scene(
             meshes=[ground_cube(), from_obj(model_path)],
             materials=materials or default_materials(),
             pos_scale=np.asarray(pos_scale, np.float32),
+            extra_instances=tuple(tuple(float(v) for v in e)
+                                  for e in extra_instances),
         )
 
+    @property
+    def mesh_ids(self):
+        """Instance -> mesh index (instance 0 = ground, rest = the model)."""
+        return (0, 1) + (1,) * len(self.extra_instances)
+
+    def instance_materials(self) -> Materials:
+        """Per-INSTANCE material arrays (instances share their mesh's
+        material, matching the reference's per-mesh CBMaterial)."""
+        ids = list(self.mesh_ids)
+        from .material import Materials as M
+        return M(base_colors=self.materials.base_colors[ids].copy(),
+                 rough_metals=self.materials.rough_metals[ids].copy())
+
+    def _model_world(self, angle, pos_scale):
+        s = float(pos_scale[3])
+        return (m3.scaling(s, s, s) @ m3.rotation_y(angle)
+                @ m3.translation(*[float(v) for v in pos_scale[:3]]))
+
     def worlds(self, angle):
-        """(NUM_MESH, 4, 4) world matrices for animation angle (traceable)."""
+        """(I, 4, 4) world matrices for animation angle (traceable)."""
         ground = m3.scaling(10.0, 0.5, 10.0) @ m3.translation(0.0, -0.5, 0.0)
-        s = float(self.pos_scale[3])
-        model = (m3.scaling(s, s, s) @ m3.rotation_y(angle)
-                 @ m3.translation(*[float(v) for v in self.pos_scale[:3]]))
-        return jnp.stack([ground, model])
+        ws = [ground, self._model_world(angle, self.pos_scale)]
+        ws += [self._model_world(angle, ps) for ps in self.extra_instances]
+        return jnp.stack(ws)
 
     def normal_matrices(self, worlds):
         """(NUM_MESH, 3, 3) inverse-transpose normal matrices.

@@ -135,3 +135,31 @@ def test_bary_modes_agree(setup):
     pa = np.asarray(a["p"])[hit]
     pb = np.asarray(b["p"])[hit]
     np.testing.assert_allclose(pa, pb, atol=5e-3)
+
+
+def test_multi_instance_tlas(setup):
+    """BASELINE config 5: more than two instances, distinct ids decoded."""
+    scene0, cam, _, env, sh, _ = setup
+    import numpy as np
+    from raytracedggx_tpu.scene import Scene, default_materials
+    from raytracedggx_tpu.scene.mesh import ground_cube
+    from raytracedggx_tpu.trace.geometry import upload_scene
+    from raytracedggx_tpu.trace.raygen import MaterialsDev
+
+    scene = Scene(meshes=[ground_cube(), ground_cube()],
+                  materials=default_materials(),
+                  pos_scale=np.array([-4, 2.0, 0, 1.0], np.float32),
+                  extra_instances=((4.0, 2.0, 0.0, 1.0),
+                                   (0.0, 5.5, 0.0, 0.8)))
+    assert scene.mesh_ids == (0, 1, 1, 1)
+    geom = upload_scene(scene)
+    im = scene.instance_materials()
+    mats = MaterialsDev(jnp.asarray(im.base_colors),
+                        jnp.asarray(im.rough_metals))
+    consts, worlds = make_frame(scene, cam, angle=0.1)
+    tlas = build_tlas(list(geom.blas), worlds, mesh_ids=scene.mesh_ids)
+    surf = primary_surface(geom, tlas, consts, mats, W, H)
+    vis = np.asarray(surf["vis"])
+    inst = np.unique((vis[vis > 0] - 1) >> 24)
+    # ground + at least two of the three model instances visible
+    assert 0 in inst and len(inst) >= 3
