@@ -151,9 +151,10 @@ class ShardedRenderer(Renderer):
 
         if cfg.spatial:
             flt_rfl = reflection_spatial_filter(refl, normal, rough, depth,
-                                                cfg.width, cfg.height)
+                                                cfg.width, cfg.height,
+                                                impl=cfg.kernels)
             flt_dff = diffuse_spatial_filter(diff, flt_rfl, normal, metal,
-                                             depth)
+                                             depth, impl=cfg.kernels)
         else:
             hit = normal[..., 3:4]
             flt_rfl = jnp.concatenate([refl, hit], axis=-1)
