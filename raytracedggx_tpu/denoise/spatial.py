@@ -90,7 +90,10 @@ def _reflection_pass(src_tm, normal, rough, depth, axis, width, height):
         n = nrm[..., :3] * 2.0 - 1.0
         w = jnp.where(nrm[..., 3] > 0.0, 1.0, 0.0)
         w = w * _gaussian(float(abs(i)), br)
-        w = w * jnp.maximum(jnp.sum(n_c * n, axis=-1), 0.0) ** 512.0
+        # clamp: out-of-bounds taps decode to n=(-1,-1,-1) whose dot can
+        # exceed 1, and x^512 then overflows to inf -> 0*inf = NaN (the
+        # gate is zero there); unit normals never exceed 1
+        w = w * jnp.clip(jnp.sum(n_c * n, axis=-1), 0.0, 1.0) ** 512.0
         w = w * jnp.exp(-jnp.abs(depth - dep) * depth * SIGMA_Z)
         w = w * (1.0 - _smoothstep(0.0, 0.5, jnp.abs(rgh - rough)))
         mu = mu + s * w[..., None]
@@ -142,7 +145,8 @@ def _diffuse_pass(src_tm, normal, metal, depth, axis):
         n = nrm[..., :3] * 2.0 - 1.0
         gate = (nrm[..., 3] > 0.0) & (mtl < 1.0)
         w = jnp.where(gate, 1.0, 0.0)
-        w = w * jnp.maximum(jnp.sum(n_c * n, axis=-1), 0.0) ** 32.0
+        # clip (not max): see the reflection pass note on OOB taps
+        w = w * jnp.clip(jnp.sum(n_c * n, axis=-1), 0.0, 1.0) ** 32.0
         w = w * jnp.exp(-jnp.abs(depth - dep) * depth * SIGMA_Z)
         mu = mu + s * w[..., None]
         wsum = wsum + w

@@ -52,6 +52,9 @@ def parse_args(argv=None):
                         "(multi-instance TLAS)")
     p.add_argument("--no-spatial", action="store_true")
     p.add_argument("--no-temporal", action="store_true")
+    p.add_argument("--no-async", action="store_true",
+                   help="single-command-list analog: fuse TLAS refit into "
+                        "the frame program (the 'A' hotkey toggle)")
     p.add_argument("--bary", choices=["direct", "ndc"], default="direct")
     p.add_argument("--emulate-formats", action="store_true")
     p.add_argument("--kernels", choices=["xla", "pallas"], default="xla",
@@ -115,7 +118,8 @@ def main(argv=None):
                        spatial=not args.no_spatial,
                        temporal=not args.no_temporal,
                        emulate_formats=args.emulate_formats,
-                       kernels=args.kernels)
+                       kernels=args.kernels,
+                       async_compute=not args.no_async)
     r = Renderer(scene, env=env, config=cfg)
     state = r.init_state()
     stats = FrameStats()

@@ -59,6 +59,10 @@ class RenderConfig:
     traversal: str = "auto"         # "auto" | "pallas" | "jax"
     leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
     sort_secondary: bool = True     # morton+octant sort for bounce waves
+    async_compute: bool = True      # 'A' toggle analog: TLAS refit as its
+                                    # own dispatched program vs fused into
+                                    # the frame program (identical output;
+                                    # overlap matters only with >1 core)
 
 
 class RenderState(NamedTuple):
@@ -116,6 +120,10 @@ class Renderer:
 
         self._step = jax.jit(partial(self._frame_step),
                              static_argnames=(), donate_argnums=(0,))
+        # 'A' toggle: TLAS refit as its own dispatched program (the
+        # compute-queue submission analog, RayTracedGGX.cpp:304-339)
+        self._refit = jax.jit(self._refit_step)
+        self._render = jax.jit(self._render_step, donate_argnums=(0,))
 
     # -- functional core ---------------------------------------------------
 
@@ -148,15 +156,36 @@ class Renderer:
         )
         return consts, worlds, wvp
 
-    def _frame_step(self, state: RenderState, dt, rough_metals):
-        cfg = self.config
+    def _refit_step(self, state: RenderState, dt):
+        """The compute-queue submission: animation + constants + TLAS
+        refit (RayTracer::UpdateFrame + UpdateAccelerationStructure)."""
         angle = state.angle + ANIM_SPEED * dt
         consts, worlds, wvp = self._constants(state, angle)
-        mats = self.materials._replace(rough_metals=rough_metals)
+        tlas = build_tlas(list(self.geom.blas), worlds,
+                          mesh_ids=self.scene.mesh_ids)
+        # mesh_ids is static python data; return only the array leaves
+        return consts, tuple(tlas)[:-1], wvp, angle
 
+    def _render_step(self, state, rough_metals, consts, tlas_arrays,
+                     wvp, angle):
+        from ..bvh.tlas import TLAS
+        tlas = TLAS(*tlas_arrays, mesh_ids=self.scene.mesh_ids)
+        return self._frame_core(state, rough_metals, consts, tlas, wvp,
+                                angle)
+
+    def _frame_step(self, state: RenderState, dt, rough_metals):
+        angle = state.angle + ANIM_SPEED * dt
+        consts, worlds, wvp = self._constants(state, angle)
         # TLAS refit — the async-compute-queue update (RayTracer.cpp:326-341)
         tlas = build_tlas(list(self.geom.blas), worlds,
                           mesh_ids=self.scene.mesh_ids)
+        return self._frame_core(state, rough_metals, consts, tlas, wvp,
+                                angle)
+
+    def _frame_core(self, state: RenderState, rough_metals, consts, tlas,
+                    wvp, angle):
+        cfg = self.config
+        mats = self.materials._replace(rough_metals=rough_metals)
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
@@ -218,9 +247,18 @@ class Renderer:
 
     def step(self, state: RenderState, dt: float = 1 / 60):
         """One frame. Non-blocking: returns device arrays immediately
-        (XLA async dispatch = the queue-overlap analog)."""
-        return self._step(state, jnp.float32(dt),
-                          self.materials.rough_metals)
+        (XLA async dispatch = the queue-overlap analog).
+
+        async_compute=True issues the TLAS refit and the render as two
+        dispatches (the reference's compute-queue + graphics-queue
+        submissions); False fuses them into one program (the single-
+        command-list path, RayTracedGGX.cpp:340-347)."""
+        dt = jnp.float32(dt)
+        if self.config.async_compute:
+            consts, tlas_arrays, wvp, angle = self._refit(state, dt)
+            return self._render(state, self.materials.rough_metals,
+                                consts, tlas_arrays, wvp, angle)
+        return self._step(state, dt, self.materials.rough_metals)
 
     def set_metallic(self, mesh_idx: int, metallic: float):
         """RayTracer::SetMetallic (RayTracer.cpp:243-247). Per-mesh: every

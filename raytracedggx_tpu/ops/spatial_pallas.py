@@ -59,7 +59,8 @@ def _refl_kernel(sr, sg, sb, nx, ny, nz, nw, rg, dp, br,
         g = jnp.exp(-0.5 * a * a)
         ndot = (ncx * (s(nx) * 2.0 - 1.0) + ncy * (s(ny) * 2.0 - 1.0)
                 + ncz * (s(nz) * 2.0 - 1.0))
-        nwgt = jnp.maximum(ndot, 0.0) ** 512.0
+        # clip to 1: OOB taps decode past unit length; x^512 would inf
+        nwgt = jnp.clip(ndot, 0.0, 1.0) ** 512.0
         dwgt = jnp.exp(-jnp.abs(dep_c - s(dp)) * dep_c * SIGMA_Z)
         rwgt = 1.0 - _smoothstep(0.0, 0.5, jnp.abs(s(rg) - rgh_c))
         wgt = gate * g * nwgt * dwgt * rwgt
@@ -96,7 +97,7 @@ def _diff_kernel(sr, sg, sb, nx, ny, nz, nw, mt, dp,
         gate = jnp.where((s(nw) > 0.0) & (s(mt) < 1.0), 1.0, 0.0)
         ndot = (ncx * (s(nx) * 2.0 - 1.0) + ncy * (s(ny) * 2.0 - 1.0)
                 + ncz * (s(nz) * 2.0 - 1.0))
-        nwgt = jnp.maximum(ndot, 0.0) ** 32.0
+        nwgt = jnp.clip(ndot, 0.0, 1.0) ** 32.0
         dwgt = jnp.exp(-jnp.abs(dep_c - s(dp)) * dep_c * SIGMA_Z)
         wgt = gate * nwgt * dwgt
         mu_r = mu_r + s(sr) * wgt

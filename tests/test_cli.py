@@ -43,3 +43,24 @@ def test_emulate_formats_end_to_end():
     state, frame, _ = r.step(state)
     f = np.asarray(frame)
     assert np.isfinite(f).all() and f.max() > 0
+
+
+def test_async_toggle_identical_frames():
+    """'A' toggle pair self-check: split-dispatch vs fused program must
+    render the same image (RayTracedGGX.cpp:391-396 analog)."""
+    from raytracedggx_tpu.scene import Scene, default_materials
+    from raytracedggx_tpu.scene.mesh import ground_cube
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    def run(async_compute):
+        scene = Scene(meshes=[ground_cube(), ground_cube()],
+                      materials=default_materials(),
+                      pos_scale=np.array([0, 3.0, 0, 1.0], np.float32))
+        r = Renderer(scene, config=RenderConfig(
+            width=48, height=32, async_compute=async_compute))
+        state = r.init_state()
+        for _ in range(2):
+            state, frame, _ = r.step(state, 1 / 30)
+        return np.asarray(frame)
+
+    np.testing.assert_array_equal(run(True), run(False))
