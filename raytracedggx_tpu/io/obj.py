@@ -62,6 +62,7 @@ def load_obj(path: str, need_norm: bool = True, for_dx: bool = True,
              swap_yz: bool = False) -> ObjMesh:
     positions = []
     file_normals = []
+    num_texc = 0
     face_tokens = []  # list of token lists per face
 
     with open(path, "r", errors="replace") as f:
@@ -76,6 +77,8 @@ def load_obj(path: str, need_norm: bool = True, for_dx: bool = True,
                 elif line[1] == "n":
                     s = line.split()
                     file_normals.append((float(s[1]), float(s[2]), float(s[3])))
+                elif line[1] == "t":
+                    num_texc += 1  # only needed for negative vt references
             elif c == "f":
                 face_tokens.append(line.split()[1:])
 
@@ -92,9 +95,7 @@ def load_obj(path: str, need_norm: bool = True, for_dx: bool = True,
         if nrm_file is not None:
             nrm_file[:, 2] = -nrm_file[:, 2]
 
-    nv, nt, nn = len(pos), 0, len(file_normals)
-    # count texcoords for negative-index resolution only
-    # (cheap: most files have none or we never see negative vt)
+    nv, nt, nn = len(pos), num_texc, len(file_normals)
 
     v_idx, n_idx = [], []
     for toks in face_tokens:
