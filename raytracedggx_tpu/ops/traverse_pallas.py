@@ -38,7 +38,7 @@ TILE = TILE_S * TILE_L
 
 def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
                      t_ref, u_ref, v_ref, prim_ref, *,
-                     num_nodes, t_min):
+                     num_nodes, t_min, fetch="onehot"):
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -57,7 +57,18 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
     iy = safe_inv(dy)
     iz = safe_inv(dz)
 
-    lanes9 = lax.broadcasted_iota(jnp.int32, (9, 128), 1)
+    def fetch_column(ref, idx):
+        """Extract column idx%128 of tile idx//128 as a (rows,) vector.
+        'onehot': masked lane reduction (portable). 'roll': dynamic lane
+        rotate + static slice (cheaper when Mosaic supports it)."""
+        tile = ref[idx >> 7]
+        lane = idx & 127
+        if fetch == "roll":
+            rolled = pltpu.roll(tile, shift=-lane, axis=1)
+            return rolled[:, 0]
+        rows = tile.shape[0]
+        lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        return jnp.sum(jnp.where(lanes == lane, tile, 0.0), axis=1)
 
     # ---- tile frustum (scalar bounds over the LIVE rays) -----------------
     # Dead rays (t_max < 0) are excluded so they don't widen the bundle.
@@ -92,12 +103,8 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
 
     def body(carry):
         i, bt, bu, bv, bp = carry
-        # fetch node i: dynamic tile index + one-hot lane reduction
-        # (Mosaic only supports 128-aligned dynamic lane slices); links
-        # ride the same f32 tile (exact for < 2^24)
-        ntile = nodes_ref[i >> 7]                      # (9, 128)
-        col = jnp.sum(jnp.where(lanes9 == (i & 127), ntile, 0.0),
-                      axis=1)                          # (9,)
+        # fetch node i (links ride the same f32 tile, exact for < 2^24)
+        col = fetch_column(nodes_ref, i)               # (9,)
         skip = col[6].astype(jnp.int32)
         tstart = col[7].astype(jnp.int32)
         tcount = col[8].astype(jnp.int32)
@@ -139,9 +146,7 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
             def tri_step(k, c):
                 bt, bu, bv, bp = c
                 ti = tstart + k
-                ttile = tris_ref[ti >> 7]                # (9, 128)
-                tr = jnp.sum(jnp.where(lanes9 == (ti & 127), ttile, 0.0),
-                             axis=1)                      # (9,)
+                tr = fetch_column(tris_ref, ti)          # (9,)
                 v0x, v0y, v0z = tr[0], tr[1], tr[2]
                 e1x, e1y, e1z = tr[3], tr[4], tr[5]
                 e2x, e2y, e2z = tr[6], tr[7], tr[8]
@@ -191,7 +196,8 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
 
 
 def trace_rays_pallas(flat: FlatBVH, ray_o, ray_d, t_min, t_max,
-                      interpret: bool = False) -> HitRecord:
+                      interpret: bool = False,
+                      fetch: str = "onehot") -> HitRecord:
     """Closest-hit trace of (R, 3) rays against one FlatBVH.
 
     t_max: scalar or per-ray (R,).  A per-ray t_max of -1 masks the ray
@@ -217,7 +223,7 @@ def trace_rays_pallas(flat: FlatBVH, ray_o, ray_d, t_min, t_max,
 
     kernel = functools.partial(_traverse_kernel,
                                num_nodes=flat.num_nodes,
-                               t_min=float(t_min))
+                               t_min=float(t_min), fetch=fetch)
     out_shape = [
         jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.float32),
         jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.float32),
