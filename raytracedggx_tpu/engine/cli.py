@@ -62,6 +62,8 @@ def parse_args(argv=None):
     p.add_argument("--stats", action="store_true", help="print fps line")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the run")
+    p.add_argument("--log", default=None, metavar="JSONL",
+                   help="append per-frame wall-time metrics to a JSONL file")
     p.add_argument("--stage-times", action="store_true",
                    help="print per-stage wall times (GPU-timestamp analog)")
     return p.parse_args(argv)
@@ -135,6 +137,8 @@ def main(argv=None):
         profile_ctx = trace_frames(args.profile)
         profile_ctx.__enter__()
 
+    log_f = open(args.log, "a") if args.log else None
+
     frame = None
     dt = 0.0 if args.pause else args.dt
     for i in range(args.frames):
@@ -142,10 +146,16 @@ def main(argv=None):
         if args.screenshot and (i + 1) % args.screenshot == 0:
             write_png(f"{os.path.splitext(args.out)[0]}_{i + 1:04d}.png",
                       np.clip(np.asarray(frame), 0, 1))
-        stats.tick()
+        step_dt = stats.tick()
+        if log_f:
+            import json
+            log_f.write(json.dumps({"frame": i, "wall_ms": step_dt * 1e3,
+                                    "fps_window": stats.fps}) + "\n")
         if args.stats and i % 16 == 15:
             frame.block_until_ready()
             print(stats.title(mesh=os.path.basename(mesh_file)))
+    if log_f:
+        log_f.close()
 
     frame.block_until_ready()
     if profile_ctx is not None:

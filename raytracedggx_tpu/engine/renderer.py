@@ -92,8 +92,10 @@ class Renderer:
         if mode == "auto":
             mode = "pallas" if jax.default_backend() == "tpu" else "jax"
         self.traversal = mode
-        self.trace_fn = (pallas_tracer(self.geom) if mode == "pallas"
-                         else default_tracer(self.geom))
+        # forced pallas off-TPU runs the kernel in interpreter mode
+        interp = mode == "pallas" and jax.default_backend() != "tpu"
+        self.trace_fn = (pallas_tracer(self.geom, interpret=interp)
+                         if mode == "pallas" else default_tracer(self.geom))
         # screen-block ray ordering keeps kernel tile frusta compact
         from ..ops.traverse_pallas import block_order
         if mode == "pallas":
