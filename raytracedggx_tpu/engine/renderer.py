@@ -93,12 +93,24 @@ class Renderer:
             mode = "pallas" if jax.default_backend() == "tpu" else "jax"
         self.traversal = mode
         # forced pallas off-TPU runs the kernel in interpreter mode
-        interp = mode == "pallas" and jax.default_backend() != "tpu"
-        self.trace_fn = (pallas_tracer(self.geom, interpret=interp)
-                         if mode == "pallas" else default_tracer(self.geom))
+        interp = (mode.startswith("pallas")
+                  and jax.default_backend() != "tpu")
+        if mode == "pallas4":
+            from ..ops.wide import flatten_bvh4, trace_scene_pallas4
+            wides = tuple(
+                flatten_bvh4(b, m.v0, m.e1, m.e2,
+                             leaf_size=self.config.leaf_size)
+                for b, m in zip(self.geom.blas, self.geom.meshes))
+            self.trace_fn = (lambda tlas, o, d, tmin, tmax:
+                             trace_scene_pallas4(wides, tlas, o, d, tmin,
+                                                 tmax, interpret=interp))
+        elif mode == "pallas":
+            self.trace_fn = pallas_tracer(self.geom, interpret=interp)
+        else:
+            self.trace_fn = default_tracer(self.geom)
         # screen-block ray ordering keeps kernel tile frusta compact
         from ..ops.traverse_pallas import block_order
-        if mode == "pallas":
+        if mode.startswith("pallas"):
             o, i = block_order(self.config.width, self.config.height)
             self.ray_order = (jnp.asarray(o), jnp.asarray(i))
         else:

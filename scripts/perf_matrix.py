@@ -59,6 +59,26 @@ def main():
     dr /= np.linalg.norm(dr, axis=1, keepdims=True)
     dr_b = jnp.asarray(dr[order])
 
+    # 4-wide kernel variants
+    from raytracedggx_tpu.ops.wide import flatten_bvh4, trace_rays_pallas4
+    for leaf in (4, 8):
+        wide = flatten_bvh4(bvh, v0, e1, e2, leaf_size=leaf)
+        try:
+            f = jax.jit(lambda o, dd, w=wide:
+                        trace_rays_pallas4(w, o, dd, 0.0, 1e4))
+            jax.block_until_ready(f(o_b, d_b))
+            t0 = time.time()
+            jax.block_until_ready(f(o_b, d_b))
+            t_pri = time.time() - t0
+            jax.block_until_ready(f(o_b, dr_b))
+            t0 = time.time()
+            jax.block_until_ready(f(o_b, dr_b))
+            t_inc = time.time() - t0
+            print(f"BVH4 leaf={leaf:2d}: primary {t_pri*1e3:7.1f} ms  "
+                  f"incoherent {t_inc*1e3:7.1f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"BVH4 leaf={leaf}: FAILED {e}", flush=True)
+
     for leaf in (4, 8, 16):
         flat = flatten_bvh(bvh, v0, e1, e2, leaf_size=leaf)
         for fetch in ("onehot", "roll"):

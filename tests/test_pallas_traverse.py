@@ -117,3 +117,49 @@ def test_refit_flat_bvh_matches_rebuild(rng):
     m = np.asarray(a.hit)
     np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m],
                                rtol=1e-4)
+
+
+def test_bvh4_matches_bruteforce_and_masks(rng):
+    from raytracedggx_tpu.ops.wide import flatten_bvh4, trace_rays_pallas4
+    pos, idx = random_tris(rng, 220, spread=4.0)
+    bvh = build_lbvh(pos, idx)
+    tri = pos[idx.reshape(-1, 3)]
+    v0 = jnp.asarray(tri[:, 0])
+    e1 = jnp.asarray(tri[:, 1] - tri[:, 0])
+    e2 = jnp.asarray(tri[:, 2] - tri[:, 0])
+    wide = flatten_bvh4(bvh, v0, e1, e2, leaf_size=4)
+    R = 1024
+    o = jnp.asarray(((rng.random((R, 3)) - 0.5) * 16).astype(np.float32))
+    d = rng.standard_normal((R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.where(jnp.arange(R) % 5 == 0, -1.0, 1e4)
+    a = trace_rays_pallas4(wide, o, jnp.asarray(d), 1e-4, tmax,
+                           interpret=True)
+    b = trace_bruteforce(v0, e1, e2, o, jnp.asarray(d), 1e-4, 1e4)
+    want_hit = np.asarray(b.hit) & (np.arange(R) % 5 != 0)
+    assert np.array_equal(np.asarray(a.hit), want_hit)
+    m = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m],
+                               rtol=1e-4)
+
+
+def test_bvh4_full_pipeline_smoke():
+    """traversal='pallas4' renders the tiny scene (interpret on CPU)."""
+    from raytracedggx_tpu.scene import Scene, default_materials
+    from raytracedggx_tpu.scene.mesh import ground_cube
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    scene = Scene(meshes=[ground_cube(), ground_cube()],
+                  materials=default_materials(),
+                  pos_scale=np.array([0, 3.0, 0, 1.0], np.float32))
+    a = Renderer(scene, config=RenderConfig(width=48, height=32,
+                                            traversal="pallas4",
+                                            sort_secondary=False))
+    sa = a.init_state()
+    sa, fa, _ = a.step(sa)
+    b = Renderer(scene, config=RenderConfig(width=48, height=32,
+                                            traversal="jax"))
+    sb = b.init_state()
+    sb, fb, _ = b.step(sb)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               atol=1e-4, rtol=1e-3)
