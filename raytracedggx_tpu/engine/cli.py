@@ -59,6 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--emulate-formats", action="store_true")
     p.add_argument("--kernels", choices=["xla", "pallas"], default="xla",
                    help="filter implementation (the V-toggle analog)")
+    p.add_argument("--traversal",
+                   choices=["auto", "pallas", "pallas4", "jax"],
+                   default="auto", help="traversal backend")
     p.add_argument("--stats", action="store_true", help="print fps line")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the run")
@@ -121,6 +124,7 @@ def main(argv=None):
                        temporal=not args.no_temporal,
                        emulate_formats=args.emulate_formats,
                        kernels=args.kernels,
+                       traversal=args.traversal,
                        async_compute=not args.no_async)
     r = Renderer(scene, env=env, config=cfg)
     state = r.init_state()
