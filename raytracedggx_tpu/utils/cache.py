@@ -17,6 +17,9 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     path = path or os.environ.get("RTGGX_CACHE_DIR",
                                   os.path.expanduser("~/.cache/rtggx-jax"))
+    # key by backend: reusing CPU AOT entries across machines with
+    # different vector ISAs triggers feature-mismatch warnings/SIGILL risk
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
