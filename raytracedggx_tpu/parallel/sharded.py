@@ -25,8 +25,6 @@ by masking the wrapped ppermute payloads on the first/last band.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
