@@ -54,7 +54,10 @@ def main():
         env = load_cubemap_env(env_path)
 
     scene = Scene.create(mesh)
-    r = Renderer(scene, env=env, config=RenderConfig(width=w, height=h))
+    cfg = RenderConfig(width=w, height=h,
+                       traversal=os.environ.get("RTGGX_BENCH_TRAVERSAL",
+                                                "auto"))
+    r = Renderer(scene, env=env, config=cfg)
     state = r.init_state()
 
     # warmup / compile
