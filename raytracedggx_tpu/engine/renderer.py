@@ -196,19 +196,12 @@ class Renderer:
         return self._frame_core(state, rough_metals, consts, tlas, wvp,
                                 angle)
 
-    def _frame_core(self, state: RenderState, rough_metals, consts, tlas,
-                    wvp, angle):
+    def _post_process(self, out, history, valid=None, full_size=None):
+        """Denoise + accumulate + tone map (shared by the single-chip and
+        sharded paths).  `valid`: optional (H, 1, 1) row mask for sharded
+        halo rows outside the global image (OOB-zero semantics).
+        Returns (accum, frame)."""
         cfg = self.config
-        mats = self.materials._replace(rough_metals=rough_metals)
-
-        out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
-                             self.sh_coeffs, cfg.width, cfg.height,
-                             bary_mode=cfg.bary_mode,
-                             trace_fn=self.trace_fn,
-                             ray_order=self.ray_order,
-                             sort_secondary=(cfg.sort_secondary and
-                                             self.traversal == "pallas"))
-
         refl, diff = out["refl"], out["diff"]
         normal, rough_metal = out["normal"], out["rough_metal"]
         depth, velocity = out["depth"], out["velocity"]
@@ -220,6 +213,13 @@ class Renderer:
                  quantize_unorm(normal[..., 3:4], 2)], axis=-1)
             rough_metal = quantize_unorm(rough_metal, 8)
             velocity = quantize_f16(velocity)
+        if valid is not None:
+            refl = refl * valid
+            diff = diff * valid
+            normal = normal * valid
+            rough_metal = rough_metal * valid
+            velocity = velocity * valid
+            depth = depth * valid[..., 0]
 
         rough = rough_metal[..., 0]
         metal = rough_metal[..., 1]
@@ -240,13 +240,32 @@ class Renderer:
             flt_dff = quantize_f16(flt_dff)
 
         if cfg.temporal:
-            accum = temporal_ss(flt_dff, state.history, velocity)
+            accum = temporal_ss(flt_dff, history, velocity,
+                                full_size=full_size)
         else:
             accum = flt_dff
         if cfg.emulate_formats:
             accum = quantize_f16(accum)
+        if valid is not None:
+            # rows outside the global image read as zeros to the tone map
+            accum = accum * valid
 
-        frame = tone_map(accum)
+        return accum, tone_map(accum)
+
+    def _frame_core(self, state: RenderState, rough_metals, consts, tlas,
+                    wvp, angle):
+        cfg = self.config
+        mats = self.materials._replace(rough_metals=rough_metals)
+
+        out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
+                             self.sh_coeffs, cfg.width, cfg.height,
+                             bary_mode=cfg.bary_mode,
+                             trace_fn=self.trace_fn,
+                             ray_order=self.ray_order,
+                             sort_secondary=(cfg.sort_secondary and
+                                             self.traversal == "pallas"))
+
+        accum, frame = self._post_process(out, state.history)
 
         new_state = RenderState(
             history=accum,
@@ -254,7 +273,7 @@ class Renderer:
             angle=angle,
             frame=state.frame + 1,
         )
-        aux = dict(out, refl=refl, diff=diff, accum=accum)
+        aux = dict(out, accum=accum)
         return new_state, frame, aux
 
     # -- host-side loop ----------------------------------------------------

@@ -108,16 +108,12 @@ class ShardedRenderer(Renderer):
     def _band_step(self, state: RenderState, dt, rough_metals):
         """Runs per device on its row band (history: (band, W, 4))."""
         from ..bvh import build_tlas
-        from ..denoise import (reflection_spatial_filter,
-                               diffuse_spatial_filter, temporal_ss)
-        from ..post import tone_map
         from ..trace.raygen import ray_trace_pass
 
         cfg = self.config
         halo = self.halo
         band = self.band
         idx = jax.lax.axis_index(AXIS)
-        n = self.num_devices
 
         angle = state.angle + jnp.float32(16.0 * np.pi / 180.0) * dt
         consts, worlds, wvp = self._constants(state, angle)
@@ -138,37 +134,9 @@ class ShardedRenderer(Renderer):
         valid = ((rows_glob >= 0) & (rows_glob < cfg.height)
                  )[:, None, None].astype(jnp.float32)
 
-        refl = out["refl"] * valid
-        diff = out["diff"] * valid
-        normal = out["normal"] * valid
-        rough_m = out["rough_metal"] * valid
-        velocity = out["velocity"] * valid
-        depth = out["depth"] * valid[..., 0]
-        rough = rough_m[..., 0]
-        metal = rough_m[..., 1]
-
-        if cfg.spatial:
-            flt_rfl = reflection_spatial_filter(refl, normal, rough, depth,
-                                                cfg.width, cfg.height,
-                                                impl=cfg.kernels)
-            flt_dff = diffuse_spatial_filter(diff, flt_rfl, normal, metal,
-                                             depth, impl=cfg.kernels)
-        else:
-            hit = normal[..., 3:4]
-            flt_rfl = jnp.concatenate([refl, hit], axis=-1)
-            comp = jnp.where(metal[..., None] < 1.0, refl + diff, refl)
-            flt_dff = jnp.concatenate([comp, hit], axis=-1)
-
-        if cfg.temporal:
-            hist_pad = halo_exchange_rows(state.history, halo, edge="clamp")
-            accum_pad = temporal_ss(flt_dff, hist_pad, velocity,
-                                    full_size=(cfg.width, cfg.height))
-        else:
-            accum_pad = flt_dff
-        # rows outside the global image must read as zeros to the tone-map
-        # cross (single-chip OOB semantics)
-        accum_pad = accum_pad * valid
-        frame_pad = tone_map(accum_pad)
+        hist_pad = halo_exchange_rows(state.history, halo, edge="clamp")
+        accum_pad, frame_pad = self._post_process(
+            out, hist_pad, valid=valid, full_size=(cfg.width, cfg.height))
 
         accum = accum_pad[halo:halo + band]
         frame = frame_pad[halo:halo + band]
