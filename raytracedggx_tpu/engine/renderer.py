@@ -108,6 +108,10 @@ class Renderer:
             self.trace_fn = pallas_tracer(self.geom, interpret=interp)
         else:
             self.trace_fn = default_tracer(self.geom)
+        # pallas FILTER kernels likewise interpret off-TPU
+        self.kernels_interpret = (self.config.kernels == "pallas"
+                                  and jax.default_backend() != "tpu")
+
         # screen-block ray ordering keeps kernel tile frusta compact
         from ..ops.traverse_pallas import block_order
         if mode.startswith("pallas"):
@@ -227,9 +231,10 @@ class Renderer:
         if cfg.spatial:
             flt_rfl = reflection_spatial_filter(
                 refl, normal, rough, depth, cfg.width, cfg.height,
-                impl=cfg.kernels)
+                impl=cfg.kernels, interpret=self.kernels_interpret)
             flt_dff = diffuse_spatial_filter(
-                diff, flt_rfl, normal, metal, depth, impl=cfg.kernels)
+                diff, flt_rfl, normal, metal, depth, impl=cfg.kernels,
+                interpret=self.kernels_interpret)
         else:
             # temporal-only config (BASELINE config 1): composite directly
             hit = normal[..., 3:4]
