@@ -272,16 +272,11 @@ static void decode_block(const uint8_t* block, bool is_signed,
     int epb = md.epb[0];
 
     // sign extension: anchor signed iff format signed; deltas always signed
-    for (int c = 0; c < 3; ++c) {
-        if (is_signed)
+    if (is_signed)
+        for (int c = 0; c < 3; ++c)
             ep[c][W] = sign_extend(static_cast<uint32_t>(ep[c][W]), epb);
-        if (md.transformed) {
-            // delta widths differ per channel/endpoint: infer from fields
-            // (delta values already assembled; their width is the number of
-            // bits the layout supplied). Track widths:
-        }
-    }
-    // compute per-endpoint assembled widths for sign extension of deltas
+    // delta widths differ per channel/endpoint: infer each endpoint's
+    // assembled width from the layout fields, then sign-extend
     if (md.transformed) {
         int width[3][4] = {{0}};
         for (int f = 0; f < md.num_fields; ++f) {

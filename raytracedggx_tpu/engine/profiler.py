@@ -39,7 +39,7 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     cfg = r.config
     consts, worlds, wvp = r._constants(state, state.angle)
     tlas = build_tlas(list(r.geom.blas), worlds,
-                      mesh_ids=tuple(range(len(r.geom.blas))))
+                      mesh_ids=r.scene.mesh_ids)
 
     def bench(name, fn):
         out = jax.block_until_ready(fn())

@@ -136,8 +136,9 @@ def _traverse_kernel(nodes_ref, tris_ref, rays_ref,
 
         hit, anyhit = lax.cond(
             maybe, full_test,
-            lambda _: (jnp.zeros((TILE_S, TILE_L), jnp.bool_), False),
-            None)
+            lambda _: (jnp.zeros((TILE_S, TILE_L), jnp.bool_),
+                       jnp.bool_(False)),   # literal False lowers as i32 and
+            None)                           # trips Mosaic's scf.if verifier
         is_leaf = tcount > 0
 
         def leaf(args):

@@ -39,7 +39,13 @@ class WideBVH(NamedTuple):
     num_nodes: int
 
 
-def flatten_bvh4(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> WideBVH:
+def build_records4(bvh, leaf_size: int = 4):
+    """Collapse a binary LBVH into 4-wide supernode topology records
+    (host side, geometry-independent).  Returns (records, tri_stream):
+    records[i] = list of child dicts {kind, lo, hi, a, b}; tri_stream =
+    stream position -> original triangle id.  Every child (leaf or
+    internal subtree) covers a CONTIGUOUS tri_stream range — the property
+    the device refit's range-min/max queries rely on."""
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
     amin = np.asarray(bvh.aabb_min)
@@ -119,7 +125,11 @@ def flatten_bvh4(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> WideBVH:
             emit(0)
     finally:
         sys.setrecursionlimit(old)
+    return records, tri_stream
 
+
+def flatten_bvh4(bvh, tri_v0, tri_e1, tri_e2, leaf_size: int = 4) -> WideBVH:
+    records, tri_stream = build_records4(bvh, leaf_size)
     N = len(records)
     arr = np.zeros((N, 36), np.float32)
     arr[:, 0:24:6] = np.inf       # default empty boxes: lo=+inf
@@ -257,8 +267,12 @@ def _kernel(nodes_ref, tris_ref, rays_ref, t_ref, u_ref, v_ref, prim_ref,
     prim_ref[0] = bp
 
 
-def trace_rays_pallas4(wide: WideBVH, ray_o, ray_d, t_min, t_max,
-                       interpret: bool = False) -> HitRecord:
+def trace_tiles4(nodes, tris, ray_o, ray_d, t_min, t_max,
+                 interpret: bool = False, stack: int = STACK):
+    """Launch the 4-wide packet kernel over (R, 3) rays against a
+    lane-tiled supernode/tri stream.  Returns flat (t, u, v, stream_pos)
+    with stream_pos = -1 for misses — callers map stream positions to
+    prim/instance ids."""
     R = ray_o.shape[0]
     G = max(1, -(-R // TILE))
     pad = G * TILE - R
@@ -292,14 +306,20 @@ def trace_rays_pallas4(wide: WideBVH, ray_o, ray_d, t_min, t_max,
             jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.float32),
             jax.ShapeDtypeStruct((G, TILE_S, TILE_L), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
-    )(wide.nodes, wide.tris, rays)
+    )(nodes, tris, rays)
 
     def fl(x):
         return x.reshape(G * TILE)[:R]
 
-    t, u, v, ps = fl(t), fl(u), fl(v), fl(prim)
+    return fl(t), fl(u), fl(v), fl(prim)
+
+
+def trace_rays_pallas4(wide: WideBVH, ray_o, ray_d, t_min, t_max,
+                       interpret: bool = False) -> HitRecord:
+    t, u, v, ps = trace_tiles4(wide.nodes, wide.tris, ray_o, ray_d,
+                               t_min, t_max, interpret=interpret)
     hit = ps >= 0
     prim_orig = jnp.where(hit, wide.tri_perm[jnp.clip(ps, 0, None)], -1)
     return HitRecord(t=t, prim=prim_orig.astype(jnp.int32), u=u, v=v,
