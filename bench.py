@@ -44,10 +44,107 @@ def _sentinel(note):
             "unit": "Mrays/s", "vs_baseline": 0.0, "note": note[:400]}
 
 
-def child():
-    w, h = _res()
-    frames = int(os.environ.get("RTGGX_BENCH_FRAMES", "8"))
+ASSETS = "/root/reference/Bin/Assets"
 
+# BASELINE.md benchmark configs (config 0 = the driver's headline workload)
+CONFIGS = {
+    0: dict(name="headline_bunny_full", mesh="bunny.obj", envs=["rnl"],
+            res=None, spatial=True, temporal=True, extra=0, animate=True),
+    1: dict(name="bunny_static_temporal_720p", mesh="bunny.obj",
+            envs=["rnl"], res=(1280, 720), spatial=False, temporal=True,
+            extra=0, animate=False),
+    2: dict(name="dragon_animated_refit", mesh="dragon.obj", envs=["rnl"],
+            res=(1280, 720), spatial=True, temporal=True, extra=0,
+            animate=True),
+    3: dict(name="full_denoise_both_variants_1080p", mesh="bunny.obj",
+            envs=["rnl"], res=(1920, 1080), spatial=True, temporal=True,
+            extra=0, animate=True, both_kernel_variants=True),
+    4: dict(name="env_sweep_tonemap", mesh="bunny.obj",
+            envs=["galileo", "grace", "stpeters", "uffizi", "rnl"],
+            res=(1280, 720), spatial=True, temporal=True, extra=0,
+            animate=True),
+    5: dict(name="4k_multi_instance_async_refit", mesh="bunny.obj",
+            envs=["rnl"], res=(3840, 2160), spatial=True, temporal=True,
+            extra=6, animate=True, frames=4),
+}
+
+
+def _run_config(cfg_id: int):
+    """Measure one BASELINE config; returns the JSON record."""
+    import numpy as np
+    from raytracedggx_tpu.scene import Scene
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    c = CONFIGS[cfg_id]
+    w, h = c["res"] or _res()
+    frames = int(os.environ.get("RTGGX_BENCH_FRAMES", c.get("frames", 8)))
+
+    mesh = f"{ASSETS}/{c['mesh']}"
+    extra = tuple((2.5 * (i % 3) - 2.5, 0.0, 2.5 * (i // 3) - 2.5, 0.6)
+                  for i in range(1, c["extra"] + 1))
+    scene = Scene.create(mesh if os.path.exists(mesh) else None,
+                         extra_instances=extra)
+
+    envs = []
+    for name in c["envs"]:
+        path = f"{ASSETS}/{name}_cross.dds"
+        if os.path.exists(path):
+            from raytracedggx_tpu.io.dds import load_cubemap_env
+            envs.append(load_cubemap_env(path))
+        else:
+            envs.append(None)
+
+    variants = [("xla",)]
+    if c.get("both_kernel_variants"):
+        variants = [("xla",), ("pallas",)]
+
+    dt_total, notes = 0.0, []
+    rays_per_frame = 0
+    for (kernels,) in variants:
+        for env, env_name in zip(envs, c["envs"]):
+            cfg = RenderConfig(
+                width=w, height=h, spatial=c["spatial"],
+                temporal=c["temporal"], kernels=kernels,
+                traversal=os.environ.get("RTGGX_BENCH_TRAVERSAL", "auto"))
+            r = Renderer(scene, env=env, config=cfg)
+            state = r.init_state()
+            anim_dt = 1 / 60 if c["animate"] else 0.0
+
+            # warmup / compile; also measures the live-ray mix
+            state, frame, aux = r.step(state, dt=anim_dt)
+            frame.block_until_ready()
+            hit = np.asarray(aux["normal"][..., 3]) > 0.5
+            metal = np.asarray(aux["rough_metal"][..., 1])
+            refl_rays = int(hit.sum())
+            diff_rays = int((hit & (metal < 1.0)).sum())
+            rays_per_frame = w * h + refl_rays + diff_rays
+
+            t0 = time.time()
+            for _ in range(frames):
+                state, frame, _ = r.step(state, dt=anim_dt)
+            # force full materialization on the host — block_until_ready
+            # alone has proven unreliable on the tunneled backend
+            np.asarray(frame)
+            dt = (time.time() - t0) / frames
+            dt_total += dt
+            tag = kernels if len(variants) > 1 else env_name
+            notes.append(f"{tag} {dt * 1e3:.1f}ms")
+
+    dt_mean = dt_total / (len(variants) * len(envs))
+    mrays = rays_per_frame / dt_mean / 1e6
+    return {
+        "metric": f"mrays_per_s_per_chip_e2e_{w}x{h}"
+                  + (f"_cfg{cfg_id}" if cfg_id else ""),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 5),
+        "note": (f"{CONFIGS[cfg_id]['name']}: {dt_mean * 1e3:.1f} ms/frame"
+                 f" ({', '.join(notes)}); live rays/frame "
+                 f"{rays_per_frame}"),
+    }
+
+
+def child():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     plat = os.environ.get("RTGGX_BENCH_PLATFORM")
     if plat:  # testing escape hatch (e.g. cpu smoke test of the bench path)
@@ -57,50 +154,12 @@ def child():
     from raytracedggx_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    import numpy as np
-    from raytracedggx_tpu.scene import Scene
-    from raytracedggx_tpu.engine import Renderer, RenderConfig
-
-    mesh = "/root/reference/Bin/Assets/bunny.obj"
-    env_path = "/root/reference/Bin/Assets/rnl_cross.dds"
-    env = None
-    if os.path.exists(env_path):
-        from raytracedggx_tpu.io.dds import load_cubemap_env
-        env = load_cubemap_env(env_path)
-
-    scene = Scene.create(mesh if os.path.exists(mesh) else None)
-    cfg = RenderConfig(width=w, height=h,
-                       traversal=os.environ.get("RTGGX_BENCH_TRAVERSAL",
-                                                "auto"))
-    r = Renderer(scene, env=env, config=cfg)
-    state = r.init_state()
-
-    # warmup / compile; also measures the live-ray mix for the Mrays metric
-    state, frame, aux = r.step(state)
-    frame.block_until_ready()
-    hit = np.asarray(aux["normal"][..., 3]) > 0.5
-    metal = np.asarray(aux["rough_metal"][..., 1])
-    refl_rays = int(hit.sum())
-    diff_rays = int((hit & (metal < 1.0)).sum())
-    rays_per_frame = w * h + refl_rays + diff_rays
-
-    t0 = time.time()
-    for _ in range(frames):
-        state, frame, _ = r.step(state)
-    # force full materialization on the host — block_until_ready alone has
-    # proven unreliable on the tunneled backend
-    np.asarray(frame)
-    dt = (time.time() - t0) / frames
-
-    mrays = rays_per_frame / dt / 1e6
-    print(json.dumps({
-        "metric": f"mrays_per_s_per_chip_e2e_{w}x{h}",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 5),
-        "note": (f"{dt * 1e3:.1f} ms/frame; live rays/frame "
-                 f"{rays_per_frame} (refl {refl_rays}, diff {diff_rays})"),
-    }))
+    if "--all-configs" in sys.argv:
+        for cfg_id in (1, 2, 3, 4, 5):
+            print(json.dumps(_run_config(cfg_id)), flush=True)
+        return
+    print(json.dumps(_run_config(
+        int(os.environ.get("RTGGX_BENCH_CONFIG", "0")))))
 
 
 def main():
@@ -121,10 +180,27 @@ def main():
 
     import subprocess
     timeout = int(os.environ.get("RTGGX_BENCH_TIMEOUT", "2400"))
+    all_cfgs = "--all-configs" in sys.argv
     try:
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
+            [sys.executable, os.path.abspath(__file__), "--child"]
+            + (["--all-configs"] if all_cfgs else []),
             capture_output=True, text=True, timeout=timeout)
+        if all_cfgs:   # one JSON line per BASELINE config, as measured
+            emitted = False
+            for line in (p.stdout or "").strip().splitlines():
+                try:
+                    if "metric" in json.loads(line):
+                        print(line)
+                        emitted = True
+                except (json.JSONDecodeError, ValueError):
+                    continue
+            if not emitted:
+                err_tail = (p.stderr or "").strip().splitlines()[-3:]
+                print(json.dumps(_sentinel(
+                    f"bench child rc={p.returncode}: "
+                    + " | ".join(err_tail))))
+            return
         for line in reversed((p.stdout or "").strip().splitlines()):
             try:
                 obj = json.loads(line)

@@ -60,7 +60,7 @@ def parse_args(argv=None):
     p.add_argument("--kernels", choices=["xla", "pallas"], default="xla",
                    help="filter implementation (the V-toggle analog)")
     p.add_argument("--traversal",
-                   choices=["auto", "pallas", "pallas4", "jax"],
+                   choices=["auto", "wide", "pallas", "pallas4", "jax"],
                    default="auto", help="traversal backend")
     p.add_argument("--stats", action="store_true", help="print fps line")
     p.add_argument("--profile", default=None, metavar="LOGDIR",

@@ -40,6 +40,13 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     consts, worlds, wvp = r._constants(state, state.angle)
     tlas = build_tlas(list(r.geom.blas), worlds,
                       mesh_ids=r.scene.mesh_ids)
+    trace_fn = r.trace_fn
+    if r.traversal == "wide":
+        from ..ops.scene_wide import refit_scene_wide, trace_scene_wide
+        sw = jax.jit(lambda w: refit_scene_wide(r.swide, w))(worlds)
+        trace_fn = (lambda _tlas, o, d, tmin, tmax:
+                    trace_scene_wide(sw, o, d, tmin, tmax,
+                                     interpret=r._interp))
 
     def bench(name, fn):
         out = jax.block_until_ready(fn())
@@ -50,12 +57,12 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     times = {}
     f_prim = jax.jit(lambda: primary_surface(
         r.geom, tlas, consts, r.materials, cfg.width, cfg.height,
-        trace_fn=r.trace_fn, ray_order=r.ray_order)["hit"])
+        trace_fn=trace_fn, ray_order=r.ray_order)["hit"])
     _, times["primary_ms"] = bench("primary", f_prim)
 
     f_trace = jax.jit(lambda: ray_trace_pass(
         r.geom, tlas, consts, r.materials, r.env, r.sh_coeffs,
-        cfg.width, cfg.height, trace_fn=r.trace_fn,
+        cfg.width, cfg.height, trace_fn=trace_fn,
         ray_order=r.ray_order))
     out, times["trace_total_ms"] = bench("trace", f_trace)
 

@@ -56,7 +56,8 @@ class RenderConfig:
     temporal: bool = True           # TAA accumulate on/off
     emulate_formats: bool = False   # round-trip reference storage precision
     kernels: str = "xla"            # "xla" | "pallas" (the 'V' toggle analog)
-    traversal: str = "auto"         # "auto" | "pallas" | "jax"
+    traversal: str = "auto"         # "auto" | "wide" | "pallas4" |
+                                    # "pallas" | "jax"
     leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
     sort_secondary: bool = True     # morton+octant sort for bounce waves
     async_compute: bool = True      # 'A' toggle analog: TLAS refit as its
@@ -90,12 +91,21 @@ class Renderer:
         from ..trace.raygen import default_tracer, pallas_tracer
         mode = self.config.traversal
         if mode == "auto":
-            mode = "pallas" if jax.default_backend() == "tpu" else "jax"
+            mode = "wide" if jax.default_backend() == "tpu" else "jax"
         self.traversal = mode
         # forced pallas off-TPU runs the kernel in interpreter mode
-        interp = (mode.startswith("pallas")
-                  and jax.default_backend() != "tpu")
-        if mode == "pallas4":
+        interp = (mode.startswith("pallas") or mode == "wide") \
+            and jax.default_backend() != "tpu"
+        self._interp = interp
+        if mode == "wide":
+            # unified world-space scene BVH: one kernel launch per wave
+            # regardless of instance count; per-frame device refit is the
+            # TLAS-update analog (ops/scene_wide.py)
+            from ..ops.scene_wide import build_scene_wide
+            self.swide = build_scene_wide(self.geom, scene.mesh_ids,
+                                          leaf_size=self.config.leaf_size)
+            self.trace_fn = None       # bound per frame after the refit
+        elif mode == "pallas4":
             from ..ops.wide import flatten_bvh4, trace_scene_pallas4
             wides = tuple(
                 flatten_bvh4(b, m.v0, m.e1, m.e2,
@@ -114,7 +124,7 @@ class Renderer:
 
         # screen-block ray ordering keeps kernel tile frusta compact
         from ..ops.traverse_pallas import block_order
-        if mode.startswith("pallas"):
+        if mode.startswith("pallas") or mode == "wide":
             o, i = block_order(self.config.width, self.config.height)
             self.ray_order = (jnp.asarray(o), jnp.asarray(i))
         else:
@@ -174,31 +184,44 @@ class Renderer:
         )
         return consts, worlds, wvp
 
+    def _refit_as(self, worlds):
+        """Acceleration-structure refit for the frame's instance
+        transforms (RayTracer::UpdateAccelerationStructure).  Returns
+        (tlas, wide_arrays): the TLAS always (shading reads instance
+        transforms from it); refitted wide-BVH streams when the unified
+        world-space traversal is active."""
+        tlas = build_tlas(list(self.geom.blas), worlds,
+                          mesh_ids=self.scene.mesh_ids)
+        wide_arrays = ()
+        if self.traversal == "wide":
+            from ..ops.scene_wide import refit_scene_wide
+            sw = refit_scene_wide(self.swide, worlds)
+            wide_arrays = (sw.nodes, sw.tris)
+        return tlas, wide_arrays
+
     def _refit_step(self, state: RenderState, dt):
-        """The compute-queue submission: animation + constants + TLAS
+        """The compute-queue submission: animation + constants + AS
         refit (RayTracer::UpdateFrame + UpdateAccelerationStructure)."""
         angle = state.angle + ANIM_SPEED * dt
         consts, worlds, wvp = self._constants(state, angle)
-        tlas = build_tlas(list(self.geom.blas), worlds,
-                          mesh_ids=self.scene.mesh_ids)
+        tlas, wide_arrays = self._refit_as(worlds)
         # mesh_ids is static python data; return only the array leaves
-        return consts, tuple(tlas)[:-1], wvp, angle
+        return consts, tuple(tlas)[:-1], wide_arrays, wvp, angle
 
     def _render_step(self, state, rough_metals, consts, tlas_arrays,
-                     wvp, angle):
+                     wide_arrays, wvp, angle):
         from ..bvh.tlas import TLAS
         tlas = TLAS(*tlas_arrays, mesh_ids=self.scene.mesh_ids)
-        return self._frame_core(state, rough_metals, consts, tlas, wvp,
-                                angle)
+        return self._frame_core(state, rough_metals, consts, tlas,
+                                wide_arrays, wvp, angle)
 
     def _frame_step(self, state: RenderState, dt, rough_metals):
         angle = state.angle + ANIM_SPEED * dt
         consts, worlds, wvp = self._constants(state, angle)
-        # TLAS refit — the async-compute-queue update (RayTracer.cpp:326-341)
-        tlas = build_tlas(list(self.geom.blas), worlds,
-                          mesh_ids=self.scene.mesh_ids)
-        return self._frame_core(state, rough_metals, consts, tlas, wvp,
-                                angle)
+        # AS refit — the async-compute-queue update (RayTracer.cpp:326-341)
+        tlas, wide_arrays = self._refit_as(worlds)
+        return self._frame_core(state, rough_metals, consts, tlas,
+                                wide_arrays, wvp, angle)
 
     def _post_process(self, out, history, valid=None, full_size=None):
         """Denoise + accumulate + tone map (shared by the single-chip and
@@ -258,17 +281,27 @@ class Renderer:
         return accum, tone_map(accum)
 
     def _frame_core(self, state: RenderState, rough_metals, consts, tlas,
-                    wvp, angle):
+                    wide_arrays, wvp, angle):
         cfg = self.config
         mats = self.materials._replace(rough_metals=rough_metals)
+
+        trace_fn = self.trace_fn
+        if self.traversal == "wide":
+            from ..ops.scene_wide import trace_scene_wide
+            sw = self.swide._replace(nodes=wide_arrays[0],
+                                     tris=wide_arrays[1])
+            trace_fn = (lambda _tlas, o, d, tmin, tmax:
+                        trace_scene_wide(sw, o, d, tmin, tmax,
+                                         interpret=self._interp))
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
                              bary_mode=cfg.bary_mode,
-                             trace_fn=self.trace_fn,
+                             trace_fn=trace_fn,
                              ray_order=self.ray_order,
                              sort_secondary=(cfg.sort_secondary and
-                                             self.traversal == "pallas"))
+                                             self.traversal in
+                                             ("pallas", "wide", "pallas4")))
 
         accum, frame = self._post_process(out, state.history)
 
@@ -293,9 +326,11 @@ class Renderer:
         command-list path, RayTracedGGX.cpp:340-347)."""
         dt = jnp.float32(dt)
         if self.config.async_compute:
-            consts, tlas_arrays, wvp, angle = self._refit(state, dt)
+            consts, tlas_arrays, wide_arrays, wvp, angle = \
+                self._refit(state, dt)
             return self._render(state, self.materials.rough_metals,
-                                consts, tlas_arrays, wvp, angle)
+                                consts, tlas_arrays, wide_arrays, wvp,
+                                angle)
         return self._step(state, dt, self.materials.rough_metals)
 
     def set_metallic(self, mesh_idx: int, metallic: float):
