@@ -49,6 +49,8 @@ class SceneWideBVH(NamedTuple):
     # hit mapping
     tri_inst: jnp.ndarray     # (T,) int32 stream pos -> instance
     tri_prim: jnp.ndarray     # (T,) int32 stream pos -> mesh-local prim id
+    tri_code: jnp.ndarray     # (T,) int32 (inst << 24) | prim — ONE gather
+                              # resolves both (gathers are op-latency-bound)
     # static python metadata
     num_nodes: int
     inst_tri_ranges: tuple    # per instance (start, end) in the stream
@@ -215,6 +217,10 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
         e2_obj=jnp.asarray(np.concatenate(e2_parts), jnp.float32),
         tri_inst=jnp.asarray(np.concatenate(inst_parts)),
         tri_prim=jnp.asarray(np.concatenate(prim_parts)),
+        tri_code=jnp.asarray((np.concatenate(inst_parts).astype(np.int64)
+                              << 24)
+                             | np.concatenate(prim_parts).astype(np.int64),
+                             jnp.int32),
         num_nodes=N,
         inst_tri_ranges=inst_ranges,
         stack=stack,
@@ -289,11 +295,14 @@ def trace_scene_wide(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
                      interpret: bool = False) -> HitRecord:
     """Closest hit for WORLD-space rays across all instances in ONE
     kernel launch (the DispatchRays TLAS walk, RayTracer.cpp:807-809)."""
+    import jax
+
     t, u, v, ps = trace_tiles4(sw.nodes, sw.tris, ray_o, ray_d,
                                t_min, t_max, interpret=interpret,
                                stack=sw.stack)
     hit = ps >= 0
     psc = jnp.clip(ps, 0, None)
-    prim = jnp.where(hit, sw.tri_prim[psc], -1).astype(jnp.int32)
-    inst = jnp.where(hit, sw.tri_inst[psc], -1).astype(jnp.int32)
+    code = jax.lax.optimization_barrier(sw.tri_code[psc])
+    prim = jnp.where(hit, code & ((1 << 24) - 1), -1).astype(jnp.int32)
+    inst = jnp.where(hit, code >> 24, -1).astype(jnp.int32)
     return HitRecord(t=t, prim=prim, u=u, v=v, hit=hit, inst=inst)

@@ -103,7 +103,14 @@ def face_uv_to_dir(face: int, u, v):
 
 
 def _bilinear(env: EnvMap, mip, face, u, v):
-    """Bilinear sample one mip level (per-ray dynamic mip index)."""
+    """Bilinear sample one mip level (per-ray dynamic mip index).
+
+    The four tap gathers are wrapped in an optimization_barrier: without
+    it XLA fuses each gather into its several elementwise consumers and
+    RE-EXECUTES it per consumer (measured 4-8x blowup on TPU — the round-2
+    gather-hygiene finding, docs/PERF.md)."""
+    import jax
+
     s = env.sizes[mip]
     off = env.offsets[mip]
     sf = s.astype(jnp.float32)
@@ -120,18 +127,21 @@ def _bilinear(env: EnvMap, mip, face, u, v):
         idx = off + (face * s + yi) * s + xi
         return env.data[idx]
 
-    c00 = tex(x0, y0)
-    c10 = tex(x0 + 1, y0)
-    c01 = tex(x0, y0 + 1)
-    c11 = tex(x0 + 1, y0 + 1)
+    c00, c10, c01, c11 = jax.lax.optimization_barrier(
+        (tex(x0, y0), tex(x0 + 1, y0), tex(x0, y0 + 1), tex(x0 + 1, y0 + 1)))
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
 def sample_env(env: EnvMap, d, level=0.0):
     """SampleLevel(dir, level): trilinear clamp. d: (..., 3), level scalar
-    or (...,)."""
+    or (...,).  A static level that lands exactly on one mip (e.g. the
+    miss-shader's level 0, RayTracing.hlsl:619-625) skips the second
+    bilinear pass entirely."""
     face, u, v = dir_to_face_uv(d)
+    if isinstance(level, (int, float)) and float(level) == int(level):
+        m = int(np.clip(level, 0, env.num_mips - 1))
+        return _bilinear(env, m, face, u, v)
     level = jnp.clip(jnp.broadcast_to(jnp.asarray(level, jnp.float32),
                                       face.shape), 0.0, env.num_mips - 1.0)
     m0 = jnp.floor(level).astype(jnp.int32)

@@ -31,6 +31,11 @@ class SceneGeometry(NamedTuple):
     meshes: Tuple[MeshGeom, ...]
     blas: Tuple[LBVH, ...]
     flat: Tuple = ()            # per-mesh FlatBVH (Pallas traversal layout)
+    # packed per-triangle attribute table: ONE gather row per hit instead
+    # of 12+ vertex gathers (p0 p1 p2 n0 n1 n2, 18 f32) — all meshes
+    # concatenated; attrib_off[mesh] = first row of that mesh
+    attrib: jnp.ndarray = None          # (sum_T, 18) float32
+    attrib_off: Tuple[int, ...] = ()    # static per-mesh row offsets
 
     @property
     def tri_data(self):
@@ -63,23 +68,41 @@ def upload_scene(scene, leaf_size: int = 8) -> SceneGeometry:
     blas = tuple(build(m.positions, m.tri.reshape(-1)) for m in meshes)
     flat = tuple(flatten_bvh(b, m.v0, m.e1, m.e2, leaf_size=leaf_size)
                  for b, m in zip(blas, meshes))
-    return SceneGeometry(meshes=meshes, blas=blas, flat=flat)
+
+    # packed attribute rows [p0 p1 p2 n0 n1 n2] per triangle, all meshes
+    offs, rows, off = [], [], 0
+    for m in meshes:
+        tri = np.asarray(m.tri)
+        p = np.asarray(m.positions)[tri].reshape(-1, 9)
+        n = np.asarray(m.normals)[tri].reshape(-1, 9)
+        rows.append(np.concatenate([p, n], axis=1).astype(np.float32))
+        offs.append(off)
+        off += tri.shape[0]
+    return SceneGeometry(meshes=meshes, blas=blas, flat=flat,
+                         attrib=jnp.asarray(np.concatenate(rows)),
+                         attrib_off=tuple(offs))
 
 
 def fetch_vertices(geom: SceneGeometry, mesh_ids, inst, prim):
     """getVertices (RayTracing.hlsl:230-244): gather the 3 object-space
     vertex positions/normals of (inst, prim).  Returns ((R,3,3), (R,3,3)).
-    inst/prim may be garbage where the ray missed — caller masks."""
-    out_p = jnp.zeros(inst.shape + (3, 3), jnp.float32)
-    out_n = jnp.zeros(inst.shape + (3, 3), jnp.float32)
+    inst/prim may be garbage where the ray missed — caller masks.
+
+    ONE barriered gather from the packed 18-wide attribute table (instead
+    of 12 per-mesh vertex gathers; gathers are op-latency-bound on TPU so
+    count, not bytes, is what costs — docs/PERF.md round 2)."""
+    import jax
+
+    # per-ray row offset: tiny static select chain over instances
+    off = jnp.zeros(inst.shape, jnp.int32)
     for i, m in enumerate(mesh_ids):
         g = geom.meshes[m]
-        pid = jnp.clip(prim, 0, g.tri.shape[0] - 1)
-        tri = g.tri[pid]                       # (R, 3)
-        sel = (inst == i)[..., None, None]
-        out_p = jnp.where(sel, g.positions[tri], out_p)
-        out_n = jnp.where(sel, g.normals[tri], out_n)
-    return out_p, out_n
+        lim = g.tri.shape[0] - 1
+        p = geom.attrib_off[m] + jnp.clip(prim, 0, lim)
+        off = jnp.where(inst == i, p, off)
+    row = jax.lax.optimization_barrier(geom.attrib[off])   # (R, 18)
+    return (row[..., 0:9].reshape(inst.shape + (3, 3)),
+            row[..., 9:18].reshape(inst.shape + (3, 3)))
 
 
 def interp_attribs(geom: SceneGeometry, mesh_ids, inst, prim, u, v):

@@ -91,15 +91,41 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
+def take_small(table, idx, num: int):
+    """Per-ray fetch from a SMALL (num <= ~32 rows) table via one-hot
+    matmul.  TPU gathers are latency-bound per op (~35ns/index,
+    docs/PERF.md round 2); a (R, I) x (I, K) matmul rides the MXU and is
+    ~free at these sizes.  Used for per-instance matrices/materials."""
+    import jax
+
+    oh = jax.nn.one_hot(jnp.clip(idx, 0, num - 1), num, dtype=jnp.float32)
+    flat = jnp.asarray(table, jnp.float32).reshape(num, -1)
+    return (oh @ flat).reshape(idx.shape + table.shape[1:])
+
+
 def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
     """Trace with an optional ray permutation (2D screen-block order so
-    kernel tiles get compact frusta — ops/traverse_pallas.block_order)."""
+    kernel tiles get compact frusta — ops/traverse_pallas.block_order).
+
+    Permutations are gathers, and TPU gathers cost per OP, not per byte
+    (docs/PERF.md round 2) — so the 7 ray fields ride ONE bundled gather
+    in and the 6 hit fields ride TWO bundled gathers out."""
+    import jax
+
     if ray_order is None:
         return trace_fn(tlas, o, d, t_min, t_max)
     order, inv = ray_order
-    tm = t_max if jnp.ndim(t_max) == 0 else t_max[order]
-    rec = trace_fn(tlas, o[order], d[order], t_min, tm)
-    return type(rec)(*(x[inv] for x in rec))
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    bundle = jax.lax.optimization_barrier(
+        jnp.concatenate([o, d, tm[:, None]], axis=-1)[order])
+    rec = trace_fn(tlas, bundle[:, 0:3], bundle[:, 3:6], t_min,
+                   bundle[:, 6])
+    fl = jax.lax.optimization_barrier(jnp.stack(
+        [rec.t, rec.u, rec.v, rec.hit.astype(jnp.float32)], axis=-1)[inv])
+    ints = jax.lax.optimization_barrier(
+        jnp.stack([rec.prim, rec.inst], axis=-1)[inv])
+    return type(rec)(t=fl[:, 0], prim=ints[:, 0], u=fl[:, 1], v=fl[:, 2],
+                     hit=fl[:, 3] > 0.5, inst=ints[:, 1])
 
 
 def calc_barycentrics(p, ndc):
@@ -170,8 +196,7 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
     """
     pos_obj, nrm_obj = interp_attribs(geom, mesh_ids, rec.inst, rec.prim,
                                       rec.u, rec.v)
-    inst_c = jnp.clip(rec.inst, 0, len(mesh_ids) - 1)
-    wit = consts.world_its[inst_c]                        # (R, 3, 3)
+    wit = take_small(consts.world_its, rec.inst, len(mesh_ids))  # (R, 3, 3)
     n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj, wit))
     v = -ray_dir
     uv = get_uv(nrm_obj, pos_obj)
@@ -220,11 +245,11 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
                          ray_order)
 
     mesh_ids = tlas.mesh_ids
-    inst_c = jnp.clip(rec.inst, 0, len(mesh_ids) - 1)
+    num_i = len(mesh_ids)
 
     vp, vn = fetch_vertices(geom, mesh_ids, rec.inst, rec.prim)
     if bary_mode == "ndc":
-        wvp = consts.world_view_projs[inst_c]            # (R, 4, 4)
+        wvp = take_small(consts.world_view_projs, rec.inst, num_i)
         vh = jnp.concatenate([vp, jnp.ones_like(vp[..., :1])], axis=-1)
         clip_v = jnp.einsum("...vc,...cd->...vd", vh, wvp)
         u, v = calc_barycentrics(clip_v, ndc)
@@ -236,11 +261,12 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
     rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
     color = get_base_color(mats.base_colors, rec.inst)[..., :3]
 
-    worlds = consts.worlds[inst_c]
+    worlds = take_small(consts.worlds, rec.inst, num_i)
     p_world = (jnp.einsum("...c,...cd->...d", pos_obj, worlds[..., :3, :3])
                + worlds[..., 3, :3])
     n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj,
-                              consts.world_its[inst_c]))
+                              take_small(consts.world_its, rec.inst,
+                                         num_i)))
     # sky pixels: P = near-plane point, N = 0, V toward eye
     # (RayTracing.hlsl:319-331)
     hit3 = rec.hit[..., None]
@@ -252,14 +278,16 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
     pos_h = jnp.concatenate([pos_obj, jnp.ones_like(pos_obj[..., :1])],
                             axis=-1)
     prev_clip = jnp.einsum("...c,...cd->...d", pos_h,
-                           consts.world_view_projs_prev[inst_c])
+                           take_small(consts.world_view_projs_prev,
+                                      rec.inst, num_i))
     velocity = ((ndc - prev_clip[..., :2] / prev_clip[..., 3:4])
                 * jnp.asarray([0.5, -0.5], jnp.float32))
     velocity = jnp.where(hit3[..., :2], velocity, 0.0)
 
     # raster-equivalent depth for the denoiser (z_clip / w of the hit)
     cur_clip = jnp.einsum("...c,...cd->...d", pos_h,
-                          consts.world_view_projs[inst_c])
+                          take_small(consts.world_view_projs, rec.inst,
+                                     num_i))
     depth = jnp.where(rec.hit, cur_clip[..., 2] / cur_clip[..., 3], 1.0)
 
     # visibility encoding ((inst << PRIMITIVE_BITS) | prim) + 1

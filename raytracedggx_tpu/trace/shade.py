@@ -26,7 +26,9 @@ def get_uv(nrm, pos, scl=(1.0, 0.2, 1.0)):
 def get_rough_metal(rough_metals, inst, uv):
     """getRoughMetal (Material.hlsli:43-49): per-instance roughness with
     the instance-0 checkerboard (uint truncation of uv*5, xor parity)."""
-    rm = rough_metals[jnp.clip(inst, 0, rough_metals.shape[0] - 1)]
+    from .raygen import take_small
+
+    rm = take_small(rough_metals, inst, rough_metals.shape[0])
     rough = rm[..., 0]
     metal = rm[..., 1]
     p = (uv * 5.0).astype(jnp.uint32) & jnp.uint32(1)
@@ -36,4 +38,6 @@ def get_rough_metal(rough_metals, inst, uv):
 
 
 def get_base_color(base_colors, inst):
-    return base_colors[jnp.clip(inst, 0, base_colors.shape[0] - 1)]
+    from .raygen import take_small
+
+    return take_small(base_colors, inst, base_colors.shape[0])

@@ -53,11 +53,11 @@ def main():
                lambda ww: refit_scene_wide(r.swide, ww), worlds)
 
     surf = bench("primary_surface (trace+gbuffer)",
-                 lambda: primary_surface(
-                     r.geom, tlas, consts, r.materials, w, h,
+                 lambda c: primary_surface(
+                     r.geom, tlas, c, r.materials, w, h,
                      trace_fn=lambda _t, o, d, a, b: trace_scene_wide(
                          sw, o, d, a, b),
-                     ray_order=r.ray_order))
+                     ray_order=r.ray_order), consts)
 
     hit, n, v, p = surf["hit"], surf["n"], surf["v"], surf["p"]
     rough, metal = surf["rough"], surf["metal"]
@@ -76,36 +76,44 @@ def main():
     hi = jnp.max(tlas.aabb_max, axis=0)
 
     order, inv = bench("morton sort (reflection wave)",
-                       lambda: sort_rays_morton(p, trace_dir, lo, hi,
-                                                active=tmax_r > 0))
+                       lambda pp, td, tm: sort_rays_morton(
+                           pp, td, lo, hi, active=tm > 0),
+                       p, trace_dir, tmax_r)
 
+    from raytracedggx_tpu.trace.raygen import _trace_ordered
     rec = bench("reflection trace (sorted, wide)",
-                lambda: tuple(trace_scene_wide(
-                    sw, p[order], trace_dir[order], 1e-5, tmax_r[order])))
+                lambda pp, td, tm, o, i: tuple(_trace_ordered(
+                    lambda _t, a, b, c, dd: trace_scene_wide(sw, a, b, c,
+                                                             dd),
+                    None, pp, td, 1e-5, tm, (o, i))),
+                p, trace_dir, tmax_r, order, inv)
     from raytracedggx_tpu.trace.traverse import HitRecord
-    rec = HitRecord(*(x[inv] for x in rec))
+    rec = HitRecord(*rec)
 
     bench("reflection trace (UNSORTED, wide)",
-          lambda: tuple(trace_scene_wide(sw, p, trace_dir, 1e-5, tmax_r)))
+          lambda pp, td, tm: tuple(trace_scene_wide(sw, pp, td, 1e-5, tm)),
+          p, trace_dir, tmax_r)
 
     bench("interp_attribs (hit gather)",
-          lambda: interp_attribs(r.geom, tlas.mesh_ids, rec.inst, rec.prim,
-                                 rec.u, rec.v))
+          lambda i, pr, u, v: interp_attribs(r.geom, tlas.mesh_ids, i, pr,
+                                             u, v),
+          rec.inst, rec.prim, rec.u, rec.v)
 
     bench("_shade_secondary (full hit shading)",
-          lambda: _shade_secondary(r.geom, tlas.mesh_ids, consts,
-                                   r.materials, r.env, r.sh_coeffs, rec,
-                                   trace_dir, False))
+          lambda rc, td: _shade_secondary(r.geom, tlas.mesh_ids, consts,
+                                          r.materials, r.env, r.sh_coeffs,
+                                          HitRecord(*rc), td, False),
+          tuple(rec), trace_dir)
 
     bench("sample_env mip0 (miss env lookup)",
-          lambda: sample_env(r.env, trace_dir, 0.0))
+          lambda td: sample_env(r.env, td, 0.0), trace_dir)
 
     bench("sample_env mip-filtered (rough lookup)",
-          lambda: sample_env(r.env, trace_dir,
-                             jnp.full(trace_dir.shape[:1], 4.2)))
+          lambda td, lv: sample_env(r.env, td, lv),
+          trace_dir, jnp.full(trace_dir.shape[:1], 4.2))
 
     bench("evaluate_sh_irradiance",
-          lambda: evaluate_sh_irradiance(r.sh_coeffs, n))
+          lambda nn: evaluate_sh_irradiance(r.sh_coeffs, nn), n)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,101 @@
+"""Validate the renderer against the reference's own published image
+(/root/reference/Doc/Images/rnl_dragon.png — dragon + rnl probe at the
+default camera, RayTracedGGX.cpp:37-39/261-278).
+
+The screenshot's animation angle is unknown (16 deg/s free-running,
+RayTracer.cpp:270-272), so stage 1 sweeps the angle at low resolution for
+the best SSIM, stage 2 renders that angle at 1280x720 with a converged TAA
+history and records the final SSIM + artifacts under docs/validation/.
+
+Run on TPU: python scripts/validate_reference.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from raytracedggx_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+import numpy as np  # noqa: E402
+
+REF_PNG = "/root/reference/Doc/Images/rnl_dragon.png"
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "docs",
+                       "validation")
+
+
+def load_ref():
+    from PIL import Image
+
+    img = np.asarray(Image.open(REF_PNG).convert("RGB"),
+                     np.float32) / 255.0
+    return img
+
+
+def render(angle, w, h, frames=24):
+    import jax.numpy as jnp
+
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+    from raytracedggx_tpu.io.dds import load_cubemap_env
+    from raytracedggx_tpu.scene import Scene
+
+    env = load_cubemap_env("/root/reference/Bin/Assets/rnl_cross.dds")
+    scene = Scene.create("/root/reference/Bin/Assets/dragon.obj")
+    r = Renderer(scene, env=env, config=RenderConfig(width=w, height=h))
+    state = r.init_state()
+    # park the model at the target angle, then accumulate TAA with dt=0
+    # (pause semantics: jitter advances, animation does not —
+    # RayTracedGGX.cpp:290-292)
+    state = state._replace(angle=jnp.float32(angle))
+    frame = None
+    for _ in range(frames):
+        state, frame, _ = r.step(state, dt=0.0)
+    return np.clip(np.asarray(frame), 0.0, 1.0)
+
+
+def main():
+    from raytracedggx_tpu.io import write_png
+    from raytracedggx_tpu.utils.ssim import ssim, downsample
+
+    ref = load_ref()
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    # stage 1: coarse angle sweep at 320x180
+    ref_small = downsample(ref, 4)
+    t0 = time.time()
+    best = (-1.0, 0.0)
+    coarse = np.arange(0.0, 2 * np.pi, np.pi / 12)
+    for ang in coarse:
+        img = render(ang, 320, 180, frames=12)
+        s = ssim(img, ref_small)
+        print(f"angle {ang:5.2f} rad: ssim {s:.4f}", flush=True)
+        if s > best[0]:
+            best = (s, ang)
+    # stage 1b: refine +-7.5 deg around the winner
+    for ang in best[1] + np.linspace(-np.pi / 24, np.pi / 24, 7):
+        img = render(float(ang), 320, 180, frames=12)
+        s = ssim(img, ref_small)
+        print(f"refine {ang:5.3f} rad: ssim {s:.4f}", flush=True)
+        if s > best[0]:
+            best = (s, float(ang))
+    print(f"sweep took {time.time() - t0:.0f}s; best angle {best[1]:.3f} "
+          f"(ssim {best[0]:.4f})", flush=True)
+
+    # stage 2: full-res render at the best angle
+    img = render(best[1], 1280, 720, frames=32)
+    s_full = ssim(img, ref)
+    s_half = ssim(downsample(img, 2), downsample(ref, 2))
+    write_png(os.path.join(OUT_DIR, "rnl_dragon_tpu.png"), img)
+    metrics = dict(angle=best[1], ssim_720p=round(s_full, 4),
+                   ssim_360p=round(s_half, 4),
+                   mean_abs=round(float(np.abs(img - ref).mean()), 5))
+    with open(os.path.join(OUT_DIR, "rnl_dragon_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
