@@ -181,6 +181,8 @@ class Renderer:
             eye=self.eye,
             proj_bias=bias,
             frame_index=(state.frame % RNG_FRAMES).astype(jnp.uint32),
+            inv_worlds=jnp.stack([m3.inverse(worlds[i])
+                                  for i in range(worlds.shape[0])]),
         )
         return consts, worlds, wvp
 
@@ -286,18 +288,20 @@ class Renderer:
         mats = self.materials._replace(rough_metals=rough_metals)
 
         trace_fn = self.trace_fn
+        trace_fused = None
         if self.traversal == "wide":
-            from ..ops.scene_wide import trace_scene_wide
+            from ..ops.scene_wide import trace_scene_wide_fused
             sw = self.swide._replace(nodes=wide_arrays[0],
                                      tris=wide_arrays[1])
-            trace_fn = (lambda _tlas, o, d, tmin, tmax:
-                        trace_scene_wide(sw, o, d, tmin, tmax,
-                                         interpret=self._interp))
+            trace_fused = (lambda o, d, tmin, tmax:
+                           trace_scene_wide_fused(sw, o, d, tmin, tmax,
+                                                  interpret=self._interp))
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
                              bary_mode=cfg.bary_mode,
                              trace_fn=trace_fn,
+                             trace_fused=trace_fused,
                              ray_order=self.ray_order,
                              sort_secondary=(cfg.sort_secondary and
                                              self.traversal in

@@ -1,0 +1,384 @@
+"""Fused leaf-major packet traversal — round-2 hot kernel.
+
+Round-2 TPU profiling (docs/PERF.md) found two dominating costs beyond the
+traversal loop itself:
+
+1. XLA per-row gather latency (~50 ns/row): the post-trace attribute
+   gathers (vertex/normal interp, tri->instance mapping) cost as much as
+   the traversal.  Fix: the kernel already holds the triangle data when it
+   finds a hit — store world-space normals and prim/instance ids IN the
+   leaf record and interpolate at hit time, so traversal returns fully
+   resolved surface attributes and shading needs NO per-ray table gather.
+
+2. Per-visit scalar sync latency: the previous kernel issued 4 tile-wide
+   any() reductions + 1 column fetch + sequential per-triangle fetches per
+   supernode visit.  Fix: (a) leaf-major layout — ONE column fetch yields
+   an entire leaf (all L triangles + normals + ids), statically unrolled;
+   (b) the 4 child hit tests reduce via TWO packed integer sums (counts in
+   bit-fields) instead of 4 any()s; (c) near-first ordered descent using
+   scalar mid-ray distance keys and a 5-exchange sorting network (pure
+   scalar ALU, overlaps vector work) tightens best-t sooner.
+
+This is the TPU-native replacement for the DXR DispatchRays traversal +
+closest-hit attribute fetch (XUSGRayTracing.h:306-341 with the hit-group
+vertex fetch, RayTracing.hlsl:230-244).
+
+Layout
+------
+nodes: (Nt, 36, 128) f32 supernode columns (same as ops/wide.py):
+  rows 0..23  4 children x (lo.xyz, hi.xyz)
+  rows 24..27 child kind (0 empty / 1 leaf / 2 internal)
+  rows 28..31 child addr: supernode index | leaf index
+  rows 32..35 child triangle count (refit metadata; kernel ignores)
+tris: (Lt, RW, 128) f32 leaf columns, leaf j at tile j>>7 lane j&127:
+  rows 0          .. 9L-1      tri k: v0.xyz e1.xyz e2.xyz at 9k
+  rows 9L         .. 18L-1     tri k: n0.xyz n1.xyz n2.xyz at 9L+9k
+  rows 18L        .. 19L-1     tri k: prim id as f32 (exact < 2^24)
+  row  19L                     instance id as f32
+Padding triangles carry v0 = NaN so every intersection test fails
+(u/v/t become NaN, all comparisons false).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_L = 128
+
+
+def build_records4_padded(bvh, leaf_size: int = 8):
+    """Collapse a binary LBVH into 4-wide supernodes with every leaf
+    padded to exactly `leaf_size` stream slots (pad slot = -1).  Returns
+    (records, tri_stream): records[i] = child dicts {kind, a, b} where a
+    is a LEAF ORDINAL for kind=1 (not a stream position) and a supernode
+    index for kind=2; b = real triangle count.  Leaf ordinal j covers
+    stream slots [j*L, (j+1)*L).  Mirrors ops/wide.build_records4 but
+    with the fixed-size-leaf invariant the fused kernel needs."""
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    leaf_tri = np.asarray(bvh.leaf_tri)
+    n = len(leaf_tri)
+    n_int = n - 1
+    L = leaf_size
+
+    counts = np.ones(2 * n - 1, np.int64)
+    for _ in range(64):
+        new = counts[left] + counts[right]
+        if np.array_equal(new, counts[:n_int]):
+            break
+        counts[:n_int] = new
+
+    def leaves_of(node):
+        out = []
+        stack = [node]
+        while stack:
+            v = stack.pop()
+            if v >= n_int:
+                out.append(leaf_tri[v - n_int])
+            else:
+                stack.append(right[v])
+                stack.append(left[v])
+        return out
+
+    def expand4(node):
+        kids = [left[node], right[node]]
+        while len(kids) < 4:
+            best, best_c = -1, L
+            for i, k in enumerate(kids):
+                if k < n_int and counts[k] > best_c:
+                    best, best_c = i, counts[k]
+            if best < 0:
+                break
+            k = kids.pop(best)
+            kids[best:best] = [left[k], right[k]]
+        return kids
+
+    records = []
+    tri_stream = []
+
+    def emit_leaf(tris):
+        j = len(tri_stream) // L
+        tri_stream.extend(tris)
+        tri_stream.extend([-1] * (L - len(tris)))
+        return j
+
+    def emit(node):
+        idx = len(records)
+        records.append(None)
+        childs = []
+        for k in expand4(node):
+            if k >= n_int or counts[k] <= L:
+                tris = leaves_of(k)
+                childs.append(dict(kind=1, a=emit_leaf(tris), b=len(tris)))
+            else:
+                childs.append(dict(kind=2, a=None, b=0, node=k))
+        records[idx] = childs
+        for c in childs:
+            if c["kind"] == 2:
+                c["a"] = emit(c["node"])
+        return idx
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10 ** 5)
+    try:
+        if n == 1 or counts[0] <= L:
+            tris = leaves_of(0 if n > 1 else n_int)
+            records.append([dict(kind=1, a=emit_leaf(tris), b=len(tris))])
+        else:
+            emit(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return records, tri_stream
+
+
+def _fused_kernel(nodes_ref, tris_ref, rays_ref,
+                  t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
+                  stack_ref, *, t_min, L, RW, TILE_S):
+    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
+    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    tmax0 = rays_ref[0, 6]
+
+    eps = jnp.float32(1e-20)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < eps,
+                               jnp.where(d >= 0, eps, -eps), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def fetch(ref, idx, rows):
+        tile = ref[idx >> 7]
+        lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
+
+    # mid-ray scalars for the ordered-descent keys (live rays only)
+    live = tmax0 >= 0.0
+    big = jnp.float32(3e38)
+    m_ox = (jnp.min(jnp.where(live, ox, big))
+            + jnp.max(jnp.where(live, ox, -big))) * 0.5
+    m_oy = (jnp.min(jnp.where(live, oy, big))
+            + jnp.max(jnp.where(live, oy, -big))) * 0.5
+    m_oz = (jnp.min(jnp.where(live, oz, big))
+            + jnp.max(jnp.where(live, oz, -big))) * 0.5
+    m_ix = (jnp.min(jnp.where(live, ix, big))
+            + jnp.max(jnp.where(live, ix, -big))) * 0.5
+    m_iy = (jnp.min(jnp.where(live, iy, big))
+            + jnp.max(jnp.where(live, iy, -big))) * 0.5
+    m_iz = (jnp.min(jnp.where(live, iz, big))
+            + jnp.max(jnp.where(live, iz, -big))) * 0.5
+
+    def leaf_fn(lf, carry):
+        """Intersect all L triangles of leaf column lf (statically
+        unrolled; ONE column fetch), interpolating the world normal and
+        resolving prim/inst at best-hit update time."""
+        bt, bu, bv, bnx, bny, bnz, bpr, bin = carry
+        colT = fetch(tris_ref, lf, RW)
+        inst_f = colT[19 * L]
+        for j in range(L):
+            o9 = 9 * j
+            v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
+            e1x, e1y, e1z = colT[o9 + 3], colT[o9 + 4], colT[o9 + 5]
+            e2x, e2y, e2z = colT[o9 + 6], colT[o9 + 7], colT[o9 + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min) & (t <= bt))
+            on = 9 * L + 9 * j
+            w0 = 1.0 - u - v
+            nx = (w0 * colT[on + 0] + u * colT[on + 3] + v * colT[on + 6])
+            ny = (w0 * colT[on + 1] + u * colT[on + 4] + v * colT[on + 7])
+            nz = (w0 * colT[on + 2] + u * colT[on + 5] + v * colT[on + 8])
+            bt = jnp.where(ok, t, bt)
+            bu = jnp.where(ok, u, bu)
+            bv = jnp.where(ok, v, bv)
+            bnx = jnp.where(ok, nx, bnx)
+            bny = jnp.where(ok, ny, bny)
+            bnz = jnp.where(ok, nz, bnz)
+            bpr = jnp.where(ok, colT[18 * L + j], bpr)
+            bin = jnp.where(ok, inst_f, bin)
+        return bt, bu, bv, bnx, bny, bnz, bpr, bin
+
+    def body(carry):
+        sp, bt, bu, bv, bnx, bny, bnz, bpr, bin = carry
+        sp = sp - 1
+        i = stack_ref[sp]
+        col = fetch(nodes_ref, i, 36)
+
+        # --- vector slab tests for all 4 children -------------------------
+        hits = []
+        for k in range(4):
+            o = k * 6
+            t0x = (col[o + 0] - ox) * ix
+            t1x = (col[o + 3] - ox) * ix
+            t0y = (col[o + 1] - oy) * iy
+            t1y = (col[o + 4] - oy) * iy
+            t0z = (col[o + 2] - oz) * iz
+            t1z = (col[o + 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+
+        # --- TWO packed reductions instead of four any()s -----------------
+        # counts fit 11 bits (TILE <= 1024 rays), packed at bit 16
+        c01 = jnp.sum(hits[0].astype(jnp.int32)
+                      + (hits[1].astype(jnp.int32) << 16))
+        c23 = jnp.sum(hits[2].astype(jnp.int32)
+                      + (hits[3].astype(jnp.int32) << 16))
+        hk = ((c01 & 0xFFFF) > 0, (c01 >> 16) > 0,
+              (c23 & 0xFFFF) > 0, (c23 >> 16) > 0)
+
+        items = []   # (key, addr, push) scalars per child
+        for k in range(4):
+            kind = col[24 + k].astype(jnp.int32)
+            a = col[28 + k].astype(jnp.int32)
+            # leaves processed immediately (tightens best-t before descent)
+            carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin)
+            carry8 = lax.cond(hk[k] & (kind == 1),
+                              functools.partial(leaf_fn, a),
+                              lambda c: c, carry8)
+            bt, bu, bv, bnx, bny, bnz, bpr, bin = carry8
+            # scalar mid-ray distance key for ordered descent
+            o = k * 6
+            kx0 = (col[o + 0] - m_ox) * m_ix
+            kx1 = (col[o + 3] - m_ox) * m_ix
+            ky0 = (col[o + 1] - m_oy) * m_iy
+            ky1 = (col[o + 4] - m_oy) * m_iy
+            kz0 = (col[o + 2] - m_oz) * m_iz
+            kz1 = (col[o + 5] - m_oz) * m_iz
+            key = jnp.maximum(jnp.maximum(jnp.minimum(kx0, kx1),
+                                          jnp.minimum(ky0, ky1)),
+                              jnp.minimum(kz0, kz1))
+            items.append((key, a, hk[k] & (kind == 2)))
+
+        # sort 4 items descending by key (far pushed first, near popped
+        # first); 5-exchange network, pure scalar selects
+        def cswap(p, q):
+            swap = p[0] < q[0]
+
+            def sel(x, y):
+                return jnp.where(swap, y, x), jnp.where(swap, x, y)
+
+            k1, k2 = sel(p[0], q[0])
+            a1, a2 = sel(p[1], q[1])
+            f1, f2 = sel(p[2], q[2])
+            return (k1, a1, f1), (k2, a2, f2)
+
+        items[0], items[1] = cswap(items[0], items[1])
+        items[2], items[3] = cswap(items[2], items[3])
+        items[0], items[2] = cswap(items[0], items[2])
+        items[1], items[3] = cswap(items[1], items[3])
+        items[1], items[2] = cswap(items[1], items[2])
+
+        for key, a, push in items:
+            @pl.when(push)
+            def _():
+                stack_ref[sp] = a
+
+            sp = jnp.where(push, sp + 1, sp)
+
+        return sp, bt, bu, bv, bnx, bny, bnz, bpr, bin
+
+    def cond(carry):
+        return carry[0] > 0
+
+    stack_ref[0] = 0
+    zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+    init = (jnp.int32(1), tmax0, zeros, zeros, zeros, zeros, zeros,
+            jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zeros)
+    (_, bt, bu, bv, bnx, bny, bnz, bpr, bin) = lax.while_loop(
+        cond, body, init)
+
+    t_ref[0] = bt
+    u_ref[0] = bu
+    v_ref[0] = bv
+    n_ref[0, 0] = bnx
+    n_ref[0, 1] = bny
+    n_ref[0, 2] = bnz
+    prim_ref[0] = bpr
+    inst_ref[0] = bin
+
+
+def trace_tiles_fused(nodes, tris, ray_o, ray_d, t_min, t_max,
+                      leaf_size: int, interpret: bool = False,
+                      stack: int = 64, tile_s: int = 8):
+    """Launch the fused kernel over (R, 3) world-space rays.  Returns flat
+    (t, u, v, normal(R,3), prim, inst) with prim = -1 for misses; normals
+    are UNNORMALIZED world-space interpolants."""
+    L = leaf_size
+    RW = tris.shape[1]
+    R = ray_o.shape[0]
+    TILE = tile_s * TILE_L
+    G = max(1, -(-R // TILE))
+    pad = G * TILE - R
+
+    def to_tiles(x):
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x.reshape(G, tile_s, TILE_L, 3).transpose(0, 3, 1, 2)
+
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tmax_t = jnp.pad(tmax_arr, (0, pad), constant_values=-1.0
+                     ).reshape(G, 1, tile_s, TILE_L)
+    rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
+                           axis=1)
+
+    tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
+                                     lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    t, u, v, nrm, prim_f, inst_f = pl.pallas_call(
+        functools.partial(_fused_kernel, t_min=float(t_min), L=L, RW=RW,
+                          TILE_S=tile_s),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, tile_s, TILE_L),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec(), tile_spec(), tile_spec(),
+                   pl.BlockSpec((1, 3, tile_s, TILE_L),
+                                lambda g: (g, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   tile_spec(), tile_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
+        interpret=interpret,
+    )(nodes, tris, rays)
+
+    def fl(x):
+        return x.reshape(G * TILE)[:R]
+
+    nrm = nrm.transpose(0, 2, 3, 1).reshape(G * TILE, 3)[:R]
+    prim_f = fl(prim_f)
+    hit = prim_f >= 0.0
+    prim = jnp.where(hit, prim_f.astype(jnp.int32), -1)
+    inst = jnp.where(hit, fl(inst_f).astype(jnp.int32), -1)
+    return fl(t), fl(u), fl(v), nrm, prim, inst

@@ -14,45 +14,48 @@ transforms.  This *is* the per-frame TLAS refit
 also refits the lower levels, so rays never transform into object space
 and N instances cost one kernel launch.
 
-Refit correctness rests on a structural invariant of build_records4: every
-supernode child (leaf or internal subtree) covers a CONTIGUOUS range of
-the triangle stream, so its AABB is a range min/max over per-triangle
-AABBs, answered with two power-of-two sparse-table windows (same scheme as
-ops/flatten.refit_flat_bvh).
-"""
+Round 2: leaf-major fused layout (ops/fused.py).  Every leaf is padded to
+exactly `leaf_size` slots and stored as one 128-lane column carrying world
+triangles, world NORMALS and prim/instance ids, so traversal returns fully
+shaded-ready surface attributes (normal interp at hit time) and no
+post-trace per-ray attribute gather is needed.  Refit correctness rests on
+a structural invariant of build_records4_padded: every supernode child
+covers a CONTIGUOUS range of LEAVES, so its AABB is a range min/max over
+per-leaf AABBs, answered with two power-of-two sparse-table windows
+(tables for all levels concatenated into one array -> one gather each)."""
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..trace.traverse import HitRecord
-from .wide import build_records4, trace_tiles4
+from .fused import build_records4_padded, trace_tiles_fused
 
 
 class SceneWideBVH(NamedTuple):
     # device streams consumed by the kernel (rebuilt every refit)
     nodes: jnp.ndarray        # (Nt, 36, 128) f32 lane-tiled supernodes
-    tris: jnp.ndarray         # (Tt, 9, 128) f32 lane-tiled world tris
+    tris: jnp.ndarray         # (Lt, RW, 128) f32 leaf-major columns
     # static topology (host-built once)
     static_cols: jnp.ndarray  # (Npad, 12) f32: kind[4], a[4], b[4]
-    child_level: jnp.ndarray  # (N, 4) int32 RMQ window level per child
-    child_a: jnp.ndarray      # (N, 4) int32 window starts
-    child_b: jnp.ndarray      # (N, 4) int32
-    child_leaf_mask: jnp.ndarray  # (N, 4) bool: child kind != 0
-    # object-space stream geometry (static; transformed by refit)
+    child_level: jnp.ndarray  # (N, 4) int32 leaf-RMQ window level
+    child_ab: jnp.ndarray     # (N, 4, 2) int32 window starts into the
+                              # CONCATENATED per-level leaf-box tables
+    # object-space stream geometry (static; transformed by refit);
+    # stream is leaf-padded: pad slots have v0 = NaN (never intersect)
     v0_obj: jnp.ndarray       # (T, 3) stream order
     e1_obj: jnp.ndarray       # (T, 3)
     e2_obj: jnp.ndarray       # (T, 3)
-    # hit mapping
-    tri_inst: jnp.ndarray     # (T,) int32 stream pos -> instance
-    tri_prim: jnp.ndarray     # (T,) int32 stream pos -> mesh-local prim id
-    tri_code: jnp.ndarray     # (T,) int32 (inst << 24) | prim — ONE gather
-                              # resolves both (gathers are op-latency-bound)
+    n_obj: jnp.ndarray        # (T, 9) object-space corner normals
+    ids_row: jnp.ndarray      # (leaves, L+1) f32: prim ids + instance id
+    pad_mask: jnp.ndarray     # (T,) bool: True where a pad slot
     # static python metadata
     num_nodes: int
+    leaf_size: int
     inst_tri_ranges: tuple    # per instance (start, end) in the stream
     stack: int                # kernel scratch stack depth
 
@@ -66,7 +69,6 @@ def _instance_tree(num_inst: int):
     if num_inst == 1:
         return [], 0
 
-    # bottom-up 4-ary grouping of instance indices
     level = [("inst", i) for i in range(num_inst)]
     levels = [level]
     while len(level) > 4:
@@ -100,42 +102,43 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
     instance -> mesh index.  Topology host-built once; call
     refit_scene_wide(sw, worlds) inside the frame step to (re)fill
     nodes/tris for the frame's instance transforms."""
+    L = leaf_size
     mesh_recs = {}
     for m in set(mesh_ids):
-        mesh_recs[m] = build_records4(geom.blas[m], leaf_size)
+        mesh_recs[m] = build_records4_padded(geom.blas[m], L)
 
     num_inst = len(mesh_ids)
     top_records, n_top = _instance_tree(num_inst)
 
-    # node/tri stream offsets per instance
-    node_off, tri_off = [], []
-    n_nodes, n_tris = n_top, 0
+    # node / leaf stream offsets per instance
+    node_off, leaf_off = [], []
+    n_nodes, n_leaves = n_top, 0
     for i, m in enumerate(mesh_ids):
         recs, stream = mesh_recs[m]
         node_off.append(n_nodes)
-        tri_off.append(n_tris)
+        leaf_off.append(n_leaves)
         n_nodes += len(recs)
-        n_tris += len(stream)
+        n_leaves += len(stream) // L
 
-    N, T = n_nodes, n_tris
+    N = n_nodes
     kind = np.zeros((N, 4), np.int32)
     a_col = np.zeros((N, 4), np.int32)
     b_col = np.zeros((N, 4), np.int32)
-    rng_s = np.zeros((N, 4), np.int64)   # child stream range start
-    rng_e = np.zeros((N, 4), np.int64)   # child stream range end
+    rng_s = np.zeros((N, 4), np.int64)   # child LEAF range start
+    rng_e = np.zeros((N, 4), np.int64)   # child LEAF range end
 
     # per-instance copies of the per-mesh records with shifted indices
-    sub_range = {}   # absolute node index -> (stream start, stream end)
+    sub_range = {}   # absolute node index -> (leaf start, leaf end)
     for i, m in enumerate(mesh_ids):
         recs, stream = mesh_recs[m]
-        off, toff = node_off[i], tri_off[i]
-        # subtree stream ranges, children have larger record indices than
-        # their parent (preorder emit) so a reverse sweep resolves them
+        off, loff = node_off[i], leaf_off[i]
+        # children have larger record indices than their parent (preorder
+        # emit) so a reverse sweep resolves subtree leaf ranges
         for r in range(len(recs) - 1, -1, -1):
             lo_s, hi_e = None, None
             for k, c in enumerate(recs[r]):
                 if c["kind"] == 1:
-                    s, e = toff + c["a"], toff + c["a"] + c["b"]
+                    s, e = loff + c["a"], loff + c["a"] + 1
                 elif c["kind"] == 2:
                     s, e = sub_range[off + c["a"]]
                 else:
@@ -143,16 +146,15 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
                 lo_s = s if lo_s is None else min(lo_s, s)
                 hi_e = e if hi_e is None else max(hi_e, e)
                 kind[off + r, k] = c["kind"]
-                a_col[off + r, k] = (toff + c["a"] if c["kind"] == 1
+                a_col[off + r, k] = (loff + c["a"] if c["kind"] == 1
                                      else off + c["a"])
                 b_col[off + r, k] = c["b"]
                 rng_s[off + r, k] = s
                 rng_e[off + r, k] = e
             sub_range[off + r] = (lo_s, hi_e)
 
-    # top-level records (preorder: children have larger indices than their
-    # parent, so a reverse sweep resolves ranges in one pass); kind=3
-    # placeholders become kind=2 pointers at instance-root nodes
+    # top-level records; kind=3 placeholders become kind=2 pointers at
+    # instance-root nodes
     for r in range(n_top - 1, -1, -1):
         ss, ee = [], []
         for k, c in enumerate(top_records[r]):
@@ -164,24 +166,40 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
             ee.append(e)
         sub_range[r] = (min(ss), max(ee))
 
-    # RMQ windows per child
+    # RMQ windows per child over LEAF boxes; tables for level k start at
+    # offset k * n_leaves in the concatenated array (each level is padded
+    # to n_leaves rows so offsets stay static)
     length = np.maximum(rng_e - rng_s, 1)
     level = np.floor(np.log2(length)).astype(np.int32)
-    ch_a = rng_s.astype(np.int32)
-    ch_b = (rng_e - (1 << level.astype(np.int64))).astype(np.int32)
-    leaf_mask = kind != 0
+    ch_a = (level.astype(np.int64) * n_leaves + rng_s).astype(np.int32)
+    ch_b = (level.astype(np.int64) * n_leaves + rng_e
+            - (1 << level.astype(np.int64))).astype(np.int32)
+    child_ab = np.stack([ch_a, ch_b], axis=-1)
 
-    # object-space stream geometry + hit mapping
-    v0_parts, e1_parts, e2_parts, inst_parts, prim_parts = [], [], [], [], []
+    # object-space stream geometry + hit mapping (leaf-padded; pad = NaN)
+    v0_parts, e1_parts, e2_parts, n_parts = [], [], [], []
+    prim_parts, inst_parts, pad_parts = [], [], []
     for i, m in enumerate(mesh_ids):
         _, stream = mesh_recs[m]
         perm = np.asarray(stream, np.int64)
+        pad = perm < 0
+        perm_c = np.clip(perm, 0, None)
         g = geom.meshes[m]
-        v0_parts.append(np.asarray(g.v0)[perm])
-        e1_parts.append(np.asarray(g.e1)[perm])
-        e2_parts.append(np.asarray(g.e2)[perm])
-        inst_parts.append(np.full(len(perm), i, np.int32))
-        prim_parts.append(perm.astype(np.int32))
+        v0 = np.asarray(g.v0)[perm_c].astype(np.float32)
+        v0[pad] = np.nan
+        v0_parts.append(v0)
+        e1_parts.append(np.asarray(g.e1)[perm_c].astype(np.float32))
+        e2_parts.append(np.asarray(g.e2)[perm_c].astype(np.float32))
+        tri = np.asarray(g.tri)[perm_c]                     # (Ti, 3)
+        n_parts.append(np.asarray(g.normals)[tri].reshape(-1, 9)
+                       .astype(np.float32))
+        prim_parts.append(np.where(pad, 0, perm_c).astype(np.float32))
+        inst_parts.append(np.full(len(perm) // L, i, np.float32))
+        pad_parts.append(pad)
+
+    prim_rows = np.concatenate(prim_parts).reshape(-1, L)
+    ids_row = np.concatenate(
+        [prim_rows, np.concatenate(inst_parts)[:, None]], axis=1)
 
     # static node columns, lane-padded
     n_pad = -(-N // 128) * 128
@@ -192,7 +210,6 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
 
     # stack depth: supernode tree height (DFS pushes <=3 extra per level)
     depth = np.ones(N, np.int32)
-    # children have larger indices; reverse sweep computes heights
     for r in range(N - 1, -1, -1):
         d = 1
         for k in range(4):
@@ -201,27 +218,23 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
         depth[r] = d
     stack = max(64, int(3 * depth[0] + 8))
 
-    inst_ranges = tuple((tri_off[i],
-                         tri_off[i] + len(mesh_recs[m][1]))
-                        for i, m in enumerate(mesh_ids))
+    inst_ranges = tuple(
+        (leaf_off[i] * L, leaf_off[i] * L + len(mesh_recs[m][1]))
+        for i, m in enumerate(mesh_ids))
 
     sw = SceneWideBVH(
         nodes=None, tris=None,
         static_cols=jnp.asarray(static_cols),
         child_level=jnp.asarray(level),
-        child_a=jnp.asarray(ch_a),
-        child_b=jnp.asarray(ch_b),
-        child_leaf_mask=jnp.asarray(leaf_mask),
-        v0_obj=jnp.asarray(np.concatenate(v0_parts), jnp.float32),
-        e1_obj=jnp.asarray(np.concatenate(e1_parts), jnp.float32),
-        e2_obj=jnp.asarray(np.concatenate(e2_parts), jnp.float32),
-        tri_inst=jnp.asarray(np.concatenate(inst_parts)),
-        tri_prim=jnp.asarray(np.concatenate(prim_parts)),
-        tri_code=jnp.asarray((np.concatenate(inst_parts).astype(np.int64)
-                              << 24)
-                             | np.concatenate(prim_parts).astype(np.int64),
-                             jnp.int32),
+        child_ab=jnp.asarray(child_ab),
+        v0_obj=jnp.asarray(np.concatenate(v0_parts)),
+        e1_obj=jnp.asarray(np.concatenate(e1_parts)),
+        e2_obj=jnp.asarray(np.concatenate(e2_parts)),
+        n_obj=jnp.asarray(np.concatenate(n_parts)),
+        ids_row=jnp.asarray(ids_row),
+        pad_mask=jnp.asarray(np.concatenate(pad_parts)),
         num_nodes=N,
+        leaf_size=L,
         inst_tri_ranges=inst_ranges,
         stack=stack,
     )
@@ -234,75 +247,104 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
 def refit_scene_wide(sw: SceneWideBVH, worlds) -> SceneWideBVH:
     """Fully vectorized per-frame refit (jit-friendly): transform each
     instance's contiguous stream slice by its world matrix (no gathers),
-    rebuild per-triangle AABBs, answer every supernode child's box with
-    two sparse-table range windows, repack the lane-tiled streams."""
-    v0s, e1s, e2s = [], [], []
+    rebuild per-LEAF AABBs with one segmented min/max, answer every
+    supernode child's box with two windows of a concatenated leaf-box
+    sparse table, repack the lane-tiled streams.  Normals transform by
+    the inverse-transpose (shading renormalizes after interpolation)."""
+    L = sw.leaf_size
+    v0s, e1s, e2s, nrs = [], [], [], []
     for i, (s, e) in enumerate(sw.inst_tri_ranges):
         w = worlds[i]
+        w_it = jnp.linalg.inv(w[:3, :3]).T
         v0s.append(sw.v0_obj[s:e] @ w[:3, :3] + w[3, :3])
         e1s.append(sw.e1_obj[s:e] @ w[:3, :3])
         e2s.append(sw.e2_obj[s:e] @ w[:3, :3])
+        nr = sw.n_obj[s:e].reshape(-1, 3) @ w_it
+        nrs.append(nr.reshape(-1, 9))
     v0 = jnp.concatenate(v0s)
     e1 = jnp.concatenate(e1s)
     e2 = jnp.concatenate(e2s)
+    nrm = jnp.concatenate(nrs)
 
+    big = jnp.float32(3e38)
     p1 = v0 + e1
     p2 = v0 + e2
     t_lo = jnp.minimum(jnp.minimum(v0, p1), p2)
     t_hi = jnp.maximum(jnp.maximum(v0, p1), p2)
+    # pad slots (v0 = NaN) must be neutral for the range min/max
+    padm = sw.pad_mask[:, None]
+    t_lo = jnp.where(padm, big, t_lo)
+    t_hi = jnp.where(padm, -big, t_hi)
     T = t_lo.shape[0]
+    n_leaves = T // L
 
-    max_level = int(np.floor(np.log2(max(T, 1)))) if T > 1 else 0
-    lo_tabs, hi_tabs = [t_lo], [t_hi]
+    # per-leaf boxes: one segmented reduction
+    leaf_lo = t_lo.reshape(n_leaves, L, 3).min(axis=1)
+    leaf_hi = t_hi.reshape(n_leaves, L, 3).max(axis=1)
+
+    # concatenated sparse table: level k rows [k*n_leaves, (k+1)*n_leaves)
+    max_level = int(np.floor(np.log2(max(n_leaves, 1))))
+    lo_levels, hi_levels = [leaf_lo], [leaf_hi]
     for k in range(1, max_level + 1):
         half = 1 << (k - 1)
-        n_k = T - (1 << k) + 1
-        if n_k <= 0:
-            break
-        lo_tabs.append(jnp.minimum(lo_tabs[-1][:n_k],
-                                   lo_tabs[-1][half:half + n_k]))
-        hi_tabs.append(jnp.maximum(hi_tabs[-1][:n_k],
-                                   hi_tabs[-1][half:half + n_k]))
+        prev_lo, prev_hi = lo_levels[-1], hi_levels[-1]
+        shift_lo = jnp.concatenate([prev_lo[half:], prev_lo[:half]])
+        shift_hi = jnp.concatenate([prev_hi[half:], prev_hi[:half]])
+        lo_levels.append(jnp.minimum(prev_lo, shift_lo))
+        hi_levels.append(jnp.maximum(prev_hi, shift_hi))
+    lo_tab = jnp.concatenate(lo_levels)
+    hi_tab = jnp.concatenate(hi_levels)
+
+    # two windows per child, ONE gather per corner table
+    ab = jnp.clip(sw.child_ab, 0, lo_tab.shape[0] - 1)   # (N, 4, 2)
+    lo = jnp.min(lo_tab[ab], axis=2)                     # (N, 4, 3)
+    hi = jnp.max(hi_tab[ab], axis=2)
+    # empty children keep kind=0 (the kernel ignores their boxes)
 
     N = sw.num_nodes
-    lo = jnp.zeros((N, 4, 3), jnp.float32)
-    hi = jnp.zeros((N, 4, 3), jnp.float32)
-    for k in range(len(lo_tabs)):
-        sel = (sw.child_level == k)[..., None]
-        a = jnp.clip(sw.child_a, 0, lo_tabs[k].shape[0] - 1)
-        b = jnp.clip(sw.child_b, 0, lo_tabs[k].shape[0] - 1)
-        lo = jnp.where(sel, jnp.minimum(lo_tabs[k][a], lo_tabs[k][b]), lo)
-        hi = jnp.where(sel, jnp.maximum(hi_tabs[k][a], hi_tabs[k][b]), hi)
-    # empty children keep kind=0 (the kernel ignores their boxes entirely)
-
-    boxes = jnp.concatenate([lo, hi], axis=-1)          # (N, 4, 6)
-    boxes = boxes.reshape(N, 24)
+    boxes = jnp.concatenate([lo, hi], axis=-1).reshape(N, 24)
     n_pad = sw.static_cols.shape[0]
     boxes = jnp.concatenate(
         [boxes, jnp.zeros((n_pad - N, 24), jnp.float32)])
     node_arr = jnp.concatenate([boxes, sw.static_cols], axis=1)  # (Npad, 36)
     nodes = node_arr.reshape(-1, 128, 36).transpose(0, 2, 1)
 
-    tris = jnp.concatenate([v0, e1, e2], axis=1)        # (T, 9)
-    t_pad = -(-T // 128) * 128 - T
-    tris = jnp.concatenate([tris, jnp.zeros((t_pad, 9), jnp.float32)])
-    tris = tris.reshape(-1, 128, 9).transpose(0, 2, 1)
+    # leaf-major tri columns: [geom 9L | normals 9L | prim L | inst 1]
+    geom_rows = jnp.concatenate([v0, e1, e2], axis=1)    # (T, 9)
+    cols = jnp.concatenate([
+        geom_rows.reshape(n_leaves, 9 * L),
+        nrm.reshape(n_leaves, 9 * L),
+        sw.ids_row,
+    ], axis=1)                                           # (leaves, 19L+1)
+    RW = cols.shape[1]
+    l_pad = -(-n_leaves // 128) * 128 - n_leaves
+    cols = jnp.concatenate([cols, jnp.zeros((l_pad, RW), jnp.float32)])
+    tris = cols.reshape(-1, 128, RW).transpose(0, 2, 1)
 
     return sw._replace(nodes=nodes, tris=tris)
 
 
+def trace_scene_wide_fused(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
+                           interpret: bool = False, tile_s: int = 8):
+    """Closest hit for WORLD-space rays across all instances in ONE
+    kernel launch (the DispatchRays TLAS walk, RayTracer.cpp:807-809).
+    Returns (HitRecord, normal): normal is the UNNORMALIZED world-space
+    interpolated surface normal (zero where missed)."""
+    # leaf_size/stack may come back as traced-array pytree leaves when a
+    # caller jit-wraps refit_scene_wide and returns sw; they are static
+    # build-time metadata, so coerce to python ints here
+    t, u, v, nrm, prim, inst = trace_tiles_fused(
+        sw.nodes, sw.tris, ray_o, ray_d, t_min, t_max,
+        leaf_size=int(sw.leaf_size), interpret=interpret,
+        stack=int(sw.stack), tile_s=tile_s)
+    hit = prim >= 0
+    rec = HitRecord(t=t, prim=prim, u=u, v=v, hit=hit, inst=inst)
+    return rec, nrm
+
+
 def trace_scene_wide(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
                      interpret: bool = False) -> HitRecord:
-    """Closest hit for WORLD-space rays across all instances in ONE
-    kernel launch (the DispatchRays TLAS walk, RayTracer.cpp:807-809)."""
-    import jax
-
-    t, u, v, ps = trace_tiles4(sw.nodes, sw.tris, ray_o, ray_d,
-                               t_min, t_max, interpret=interpret,
-                               stack=sw.stack)
-    hit = ps >= 0
-    psc = jnp.clip(ps, 0, None)
-    code = jax.lax.optimization_barrier(sw.tri_code[psc])
-    prim = jnp.where(hit, code & ((1 << 24) - 1), -1).astype(jnp.int32)
-    inst = jnp.where(hit, code >> 24, -1).astype(jnp.int32)
-    return HitRecord(t=t, prim=prim, u=u, v=v, hit=hit, inst=inst)
+    """Compatibility wrapper returning only the HitRecord."""
+    rec, _ = trace_scene_wide_fused(sw, ray_o, ray_d, t_min, t_max,
+                                    interpret=interpret)
+    return rec

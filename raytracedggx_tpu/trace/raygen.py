@@ -56,6 +56,8 @@ class FrameConstants(NamedTuple):
     eye: jnp.ndarray                    # (3,)
     proj_bias: jnp.ndarray              # (2,) NDC jitter
     frame_index: jnp.ndarray            # () uint32, mod 256
+    inv_worlds: jnp.ndarray = None      # (I, 4, 4) inverse instance worlds
+                                        # (fused-traversal shading path)
 
 
 class MaterialsDev(NamedTuple):
@@ -128,6 +130,49 @@ def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
                      hit=fl[:, 3] > 0.5, inst=ints[:, 1])
 
 
+def _trace_ordered_fused(trace_fused, o, d, t_min, t_max, ray_order):
+    """_trace_ordered for fused tracers returning (HitRecord, normal):
+    the interpolated world normal rides the bundled un-permute."""
+    import jax
+
+    from .traverse import HitRecord
+
+    if ray_order is None:
+        return trace_fused(o, d, t_min, t_max)
+    order, inv = ray_order
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    bundle = jax.lax.optimization_barrier(
+        jnp.concatenate([o, d, tm[:, None]], axis=-1)[order])
+    rec, nrm = trace_fused(bundle[:, 0:3], bundle[:, 3:6], t_min,
+                           bundle[:, 6])
+    fl = jax.lax.optimization_barrier(jnp.concatenate(
+        [jnp.stack([rec.t, rec.u, rec.v, rec.hit.astype(jnp.float32)],
+                   axis=-1), nrm], axis=-1)[inv])
+    ints = jax.lax.optimization_barrier(
+        jnp.stack([rec.prim, rec.inst], axis=-1)[inv])
+    rec = HitRecord(t=fl[:, 0], prim=ints[:, 0], u=fl[:, 1], v=fl[:, 2],
+                    hit=fl[:, 3] > 0.5, inst=ints[:, 1])
+    return rec, fl[:, 4:7]
+
+
+def world_to_object(consts: FrameConstants, inst, num_i: int,
+                    p_world=None, n_world=None):
+    """Recover object-space position/normal from world-space hit data via
+    per-instance inverse transforms (one-hot matmuls) — the fused kernel
+    returns world-space attributes, but getUV / velocity want object space
+    (RayTracing.hlsl:236-244, 308-311)."""
+    pos_obj = nrm_obj = None
+    if p_world is not None:
+        iw = take_small(consts.inv_worlds, inst, num_i)
+        pos_obj = (jnp.einsum("...c,...cd->...d", p_world, iw[..., :3, :3])
+                   + iw[..., 3, :3])
+    if n_world is not None:
+        w3 = take_small(consts.worlds, inst, num_i)[..., :3, :3]
+        # n_obj = n_world @ A^T  (inverse of n_world = n_obj @ A^-T)
+        nrm_obj = jnp.einsum("...d,...cd->...c", n_world, w3)
+    return pos_obj, nrm_obj
+
+
 def calc_barycentrics(p, ndc):
     """calcBarycentrics (RayTracing.hlsl:204-225): perspective-correct
     barycentrics from clip-space triangle p (R, 3, 4) and pixel NDC (R, 2)."""
@@ -185,7 +230,8 @@ def _sh_shade(sh_coeffs, n, albedo):
 
 
 def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
-                     rec, ray_dir, damp_diffuse_albedo):
+                     rec, ray_dir, damp_diffuse_albedo,
+                     fused_n=None, ray_o=None):
     """Shared closest-hit shading for depth-1 rays.
 
     Both hit shaders route by the hit material's metallic
@@ -193,11 +239,22 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
     metallic > 0.5 -> env-specular path, else -> SH-diffuse path.
     closestHitDiffuse additionally damps albedo by (1 - metallic) on the
     diffuse route (:607) — `damp_diffuse_albedo`.
+
+    fused_n/ray_o: when the traversal kernel returned interpolated world
+    normals (ops/fused.py), the hit point is ray_o + t*dir and object-space
+    attributes come from inverse instance transforms — no vertex gather.
     """
-    pos_obj, nrm_obj = interp_attribs(geom, mesh_ids, rec.inst, rec.prim,
-                                      rec.u, rec.v)
-    wit = take_small(consts.world_its, rec.inst, len(mesh_ids))  # (R, 3, 3)
-    n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj, wit))
+    if fused_n is not None:
+        p_world = ray_o + rec.t[..., None] * ray_dir
+        pos_obj, nrm_obj = world_to_object(consts, rec.inst, len(mesh_ids),
+                                           p_world, fused_n)
+        n = _normalize(fused_n)
+    else:
+        pos_obj, nrm_obj = interp_attribs(geom, mesh_ids, rec.inst,
+                                          rec.prim, rec.u, rec.v)
+        wit = take_small(consts.world_its, rec.inst,
+                         len(mesh_ids))                      # (R, 3, 3)
+        n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj, wit))
     v = -ray_dir
     uv = get_uv(nrm_obj, pos_obj)
     rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
@@ -213,7 +270,7 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
 def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
                     mats: MaterialsDev, width: int, height: int,
                     bary_mode: str = "direct", row0=0, band_height=None,
-                    trace_fn=None, ray_order=None):
+                    trace_fn=None, ray_order=None, trace_fused=None):
     """Primary cast replacing the visibility raster + getPrimarySurface
     (RayTracing.hlsl:277-333).  Returns a dict of flat (R,) / (R, C) arrays.
 
@@ -239,34 +296,48 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
     p_near = world[..., :3] / world[..., 3:4]
     ray_d = _normalize(p_near - consts.eye)
 
-    if trace_fn is None:
-        trace_fn = default_tracer(geom)
-    rec = _trace_ordered(trace_fn, tlas, p_near, ray_d, 0.0, T_MAX,
-                         ray_order)
-
     mesh_ids = tlas.mesh_ids
     num_i = len(mesh_ids)
 
-    vp, vn = fetch_vertices(geom, mesh_ids, rec.inst, rec.prim)
-    if bary_mode == "ndc":
-        wvp = take_small(consts.world_view_projs, rec.inst, num_i)
-        vh = jnp.concatenate([vp, jnp.ones_like(vp[..., :1])], axis=-1)
-        clip_v = jnp.einsum("...vc,...cd->...vd", vh, wvp)
-        u, v = calc_barycentrics(clip_v, ndc)
-    else:
+    if trace_fused is not None and bary_mode == "direct":
+        # fused kernel returns interpolated world normals; the hit point
+        # is on-ray; object-space attributes come from inverse transforms
+        rec, fnrm = _trace_ordered_fused(trace_fused, p_near, ray_d, 0.0,
+                                         T_MAX, ray_order)
         u, v = rec.u, rec.v
-    pos_obj, nrm_obj = interp_from_vertices(vp, vn, u, v)
+        p_world = p_near + rec.t[..., None] * ray_d
+        pos_obj, nrm_obj = world_to_object(consts, rec.inst, num_i,
+                                           p_world, fnrm)
+        n = _normalize(fnrm)
+    else:
+        if trace_fused is not None:     # ndc barycentrics need vertices
+            def trace_fn(_tlas, o, d, a, b):
+                return trace_fused(o, d, a, b)[0]
+        if trace_fn is None:
+            trace_fn = default_tracer(geom)
+        rec = _trace_ordered(trace_fn, tlas, p_near, ray_d, 0.0, T_MAX,
+                             ray_order)
+
+        vp, vn = fetch_vertices(geom, mesh_ids, rec.inst, rec.prim)
+        if bary_mode == "ndc":
+            wvp = take_small(consts.world_view_projs, rec.inst, num_i)
+            vh = jnp.concatenate([vp, jnp.ones_like(vp[..., :1])], axis=-1)
+            clip_v = jnp.einsum("...vc,...cd->...vd", vh, wvp)
+            u, v = calc_barycentrics(clip_v, ndc)
+        else:
+            u, v = rec.u, rec.v
+        pos_obj, nrm_obj = interp_from_vertices(vp, vn, u, v)
+
+        worlds = take_small(consts.worlds, rec.inst, num_i)
+        p_world = (jnp.einsum("...c,...cd->...d", pos_obj,
+                              worlds[..., :3, :3]) + worlds[..., 3, :3])
+        n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj,
+                                  take_small(consts.world_its, rec.inst,
+                                             num_i)))
 
     uv = get_uv(nrm_obj, pos_obj)
     rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
     color = get_base_color(mats.base_colors, rec.inst)[..., :3]
-
-    worlds = take_small(consts.worlds, rec.inst, num_i)
-    p_world = (jnp.einsum("...c,...cd->...d", pos_obj, worlds[..., :3, :3])
-               + worlds[..., 3, :3])
-    n = _normalize(jnp.einsum("...c,...cd->...d", nrm_obj,
-                              take_small(consts.world_its, rec.inst,
-                                         num_i)))
     # sky pixels: P = near-plane point, N = 0, V toward eye
     # (RayTracing.hlsl:319-331)
     hit3 = rec.hit[..., None]
@@ -310,7 +381,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    mats: MaterialsDev, env: EnvMap, sh_coeffs,
                    width: int, height: int, bary_mode: str = "direct",
                    row0=0, band_height=None, trace_fn=None, ray_order=None,
-                   sort_secondary=False):
+                   sort_secondary=False, trace_fused=None):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
     velocity, depth, vis.  row0/band_height restrict to a row band (the
@@ -322,11 +393,12 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     """
     if band_height is None:
         band_height = height
-    if trace_fn is None:
+    if trace_fn is None and trace_fused is None:
         trace_fn = default_tracer(geom)
     surf = primary_surface(geom, tlas, consts, mats, width, height,
                            bary_mode, row0=row0, band_height=band_height,
-                           trace_fn=trace_fn, ray_order=ray_order)
+                           trace_fn=trace_fn, ray_order=ray_order,
+                           trace_fused=trace_fused)
     hit = surf["hit"]
     n, v, p = surf["n"], surf["v"], surf["p"]
     rough, metal, color = surf["rough"], surf["metal"], surf["color"]
@@ -358,11 +430,22 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         hi = jnp.max(tlas.aabb_max, axis=0)
         return sort_rays_morton(p, dirs, lo, hi, active=tmax > 0)
 
-    rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
-                           T_MIN_SECONDARY, tmax_r,
-                           secondary_order(trace_dir, tmax_r))
-    shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
-                                rec_r, trace_dir, damp_diffuse_albedo=False)
+    if trace_fused is not None:
+        rec_r, fn_r = _trace_ordered_fused(trace_fused, p, trace_dir,
+                                           T_MIN_SECONDARY, tmax_r,
+                                           secondary_order(trace_dir,
+                                                           tmax_r))
+        shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                    sh_coeffs, rec_r, trace_dir,
+                                    damp_diffuse_albedo=False,
+                                    fused_n=fn_r, ray_o=p)
+    else:
+        rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
+                               T_MIN_SECONDARY, tmax_r,
+                               secondary_order(trace_dir, tmax_r))
+        shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                    sh_coeffs, rec_r, trace_dir,
+                                    damp_diffuse_albedo=False)
     # closestHitReflection early-out (:573): payload seeded with
     # color * metallic; all-nonpositive seed skips hit shading
     seed = color * metal[..., None]
@@ -389,11 +472,22 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     d_dir = cos_dir(n, xi)
     trace_dir_d = jnp.where(hit[..., None], d_dir, -v)
     tmax_d = jnp.where(hit & (metal < 1.0), T_MAX, -1.0)
-    rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
-                           T_MIN_SECONDARY, tmax_d,
-                           secondary_order(trace_dir_d, tmax_d))
-    shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
-                                rec_d, trace_dir_d, damp_diffuse_albedo=True)
+    if trace_fused is not None:
+        rec_d, fn_d = _trace_ordered_fused(trace_fused, p, trace_dir_d,
+                                           T_MIN_SECONDARY, tmax_d,
+                                           secondary_order(trace_dir_d,
+                                                           tmax_d))
+        shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                    sh_coeffs, rec_d, trace_dir_d,
+                                    damp_diffuse_albedo=True,
+                                    fused_n=fn_d, ray_o=p)
+    else:
+        rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
+                               T_MIN_SECONDARY, tmax_d,
+                               secondary_order(trace_dir_d, tmax_d))
+        shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                    sh_coeffs, rec_d, trace_dir_d,
+                                    damp_diffuse_albedo=True)
     env_d = sample_env(env, trace_dir_d, 0.0)
     radiance_d = jnp.where(rec_d.hit[..., None] & hit[..., None],
                            shaded_d, env_d)

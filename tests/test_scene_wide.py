@@ -84,28 +84,33 @@ def test_refit_boxes_contain_triangles(rng):
     worlds = scene.worlds(2.1)
     sw = build_scene_wide(geom, scene.mesh_ids, worlds=worlds)
 
-    # reconstruct world triangles from the stream
-    tris = np.asarray(sw.tris).transpose(0, 2, 1).reshape(-1, 9)
+    # reconstruct world triangles from the leaf-major stream
+    L = int(sw.leaf_size)
+    cols = np.asarray(sw.tris).transpose(0, 2, 1).reshape(
+        -1, sw.tris.shape[1])                            # (leaves_pad, RW)
     T = sw.v0_obj.shape[0]
-    v0, e1, e2 = tris[:T, 0:3], tris[:T, 3:6], tris[:T, 6:9]
-    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)      # (T, 3, 3)
+    n_leaves = T // L
+    geom9 = cols[:n_leaves, :9 * L].reshape(-1, 9)       # (T, 9)
+    pad = np.asarray(sw.pad_mask)
+    v0, e1, e2 = geom9[:, 0:3], geom9[:, 3:6], geom9[:, 6:9]
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)       # (T, 3, 3)
 
     nodes = np.asarray(sw.nodes).transpose(0, 2, 1).reshape(-1, 36)
     N = sw.num_nodes
-    kind = np.asarray(sw.child_level * 0 + 0)  # placeholder
     stat = np.asarray(sw.static_cols)
-    lvl_a = np.asarray(sw.child_a)
-    lvl_b = np.asarray(sw.child_b)
+    ab = np.asarray(sw.child_ab)
     child_lvl = np.asarray(sw.child_level)
     for r in range(N):
         for k in range(4):
             knd = int(stat[r, k])
             if knd == 0:
                 continue
-            s = int(lvl_a[r, k])
-            e = int(lvl_b[r, k]) + (1 << int(child_lvl[r, k]))
+            lvl = int(child_lvl[r, k])
+            s = int(ab[r, k, 0]) - lvl * n_leaves        # leaf range start
+            e = int(ab[r, k, 1]) - lvl * n_leaves + (1 << lvl)
             lo = nodes[r, k * 6:k * 6 + 3]
             hi = nodes[r, k * 6 + 3:k * 6 + 6]
-            seg = pts[s:e].reshape(-1, 3)
+            live = ~pad[s * L:e * L]
+            seg = pts[s * L:e * L].reshape(-1, 3)[np.repeat(live, 3)]
             assert (seg >= lo - 1e-4).all() and (seg <= hi + 1e-4).all(), \
                 f"node {r} child {k} box does not contain its range"
