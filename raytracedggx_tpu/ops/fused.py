@@ -141,7 +141,7 @@ def build_records4_padded(bvh, leaf_size: int = 8):
 
 def _fused_kernel(nodes_ref, tris_ref, rays_ref,
                   t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
-                  stack_ref, *, t_min, L, RW, TILE_S):
+                  stack_ref, *, t_min, L, RW, TILE_S, octant=False):
     ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -223,21 +223,41 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
         col = fetch(nodes_ref, i, 36)
 
         # --- vector slab tests for all 4 children -------------------------
+        # octant mode (sorted secondary waves: every LIVE ray in the tile
+        # shares direction signs by construction of sort_rays_morton) picks
+        # the entry/exit plane per axis with SCALAR selects, saving the
+        # per-lane min/max pairs.  Signs come from the live-ray mid
+        # inverse direction.  Dead rays may disagree, but they can only
+        # cause spurious visits, never wrong hits (their t_max is -1).
         hits = []
         for k in range(4):
             o = k * 6
-            t0x = (col[o + 0] - ox) * ix
-            t1x = (col[o + 3] - ox) * ix
-            t0y = (col[o + 1] - oy) * iy
-            t1y = (col[o + 4] - oy) * iy
-            t0z = (col[o + 2] - oz) * iz
-            t1z = (col[o + 5] - oz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.maximum(t0z, t1z))
+            if octant:
+                bx0 = jnp.where(m_ix >= 0, col[o + 0], col[o + 3])
+                bx1 = jnp.where(m_ix >= 0, col[o + 3], col[o + 0])
+                by0 = jnp.where(m_iy >= 0, col[o + 1], col[o + 4])
+                by1 = jnp.where(m_iy >= 0, col[o + 4], col[o + 1])
+                bz0 = jnp.where(m_iz >= 0, col[o + 2], col[o + 5])
+                bz1 = jnp.where(m_iz >= 0, col[o + 5], col[o + 2])
+                tn = jnp.maximum(jnp.maximum((bx0 - ox) * ix,
+                                             (by0 - oy) * iy),
+                                 (bz0 - oz) * iz)
+                tf = jnp.minimum(jnp.minimum((bx1 - ox) * ix,
+                                             (by1 - oy) * iy),
+                                 (bz1 - oz) * iz)
+            else:
+                t0x = (col[o + 0] - ox) * ix
+                t1x = (col[o + 3] - ox) * ix
+                t0y = (col[o + 1] - oy) * iy
+                t1y = (col[o + 4] - oy) * iy
+                t0z = (col[o + 2] - oz) * iz
+                t1z = (col[o + 5] - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
             hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
 
         # --- TWO packed reductions instead of four any()s -----------------
@@ -322,7 +342,8 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
 
 def trace_tiles_fused(nodes, tris, ray_o, ray_d, t_min, t_max,
                       leaf_size: int, interpret: bool = False,
-                      stack: int = 64, tile_s: int = 8):
+                      stack: int = 64, tile_s: int = 8,
+                      octant: bool = False):
     """Launch the fused kernel over (R, 3) world-space rays.  Returns flat
     (t, u, v, normal(R,3), prim, inst) with prim = -1 for misses; normals
     are UNNORMALIZED world-space interpolants."""
@@ -348,7 +369,7 @@ def trace_tiles_fused(nodes, tris, ray_o, ray_d, t_min, t_max,
                                      memory_space=pltpu.VMEM)
     t, u, v, nrm, prim_f, inst_f = pl.pallas_call(
         functools.partial(_fused_kernel, t_min=float(t_min), L=L, RW=RW,
-                          TILE_S=tile_s),
+                          TILE_S=tile_s, octant=octant),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

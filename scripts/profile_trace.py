@@ -1,6 +1,7 @@
-"""Fine-grained TPU timing of the ray_trace_pass internals: which of
-traversal / attribute gathers / env sampling / SH eval actually costs the
-milliseconds.  Usage: python scripts/profile_trace.py [WxH]"""
+"""Fine-grained TPU timing of the fused ray-trace internals: refit,
+primary/reflection traversal (fused kernel), ray sort, shading, env
+sampling, and a kernel tile-size sweep.
+Usage: python scripts/profile_trace.py [WxH]"""
 
 import sys
 import time
@@ -12,14 +13,15 @@ enable_compilation_cache()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 
 
-def bench(name, fn, *args):
+def bench(name, fn, *args, reps=3):
     out = jax.block_until_ready(jax.jit(fn)(*args))
     t0 = time.time()
-    out = jax.block_until_ready(jax.jit(fn)(*args))
-    print(f"{name:38s} {(time.time() - t0) * 1e3:8.1f} ms", flush=True)
+    for _ in range(reps):
+        out = jax.block_until_ready(jax.jit(fn)(*args))
+    print(f"{name:44s} {(time.time() - t0) / reps * 1e3:8.1f} ms",
+          flush=True)
     return out
 
 
@@ -31,12 +33,13 @@ def main():
     from raytracedggx_tpu.engine import Renderer, RenderConfig
     from raytracedggx_tpu.io.dds import load_cubemap_env
     from raytracedggx_tpu.ops.scene_wide import (refit_scene_wide,
-                                                 trace_scene_wide)
+                                                 trace_scene_wide_fused)
     from raytracedggx_tpu.trace.raygen import (primary_surface,
-                                               _shade_secondary)
+                                               _shade_secondary,
+                                               _trace_ordered_fused)
     from raytracedggx_tpu.trace.env import sample_env
     from raytracedggx_tpu.trace.sampling import sample_param, ggx_dir
-    from raytracedggx_tpu.trace.geometry import interp_attribs
+    from raytracedggx_tpu.trace.traverse import HitRecord
     from raytracedggx_tpu.utils.math3d import reflect
     from raytracedggx_tpu.bvh import build_tlas
     from raytracedggx_tpu.sh import evaluate_sh_irradiance
@@ -52,12 +55,13 @@ def main():
     sw = bench("refit_scene_wide",
                lambda ww: refit_scene_wide(r.swide, ww), worlds)
 
-    surf = bench("primary_surface (trace+gbuffer)",
+    def fused(o, d, tmin, tmax, tile_s=8):
+        return trace_scene_wide_fused(sw, o, d, tmin, tmax, tile_s=tile_s)
+
+    surf = bench("primary_surface (fused trace+gbuffer)",
                  lambda c: primary_surface(
                      r.geom, tlas, c, r.materials, w, h,
-                     trace_fn=lambda _t, o, d, a, b: trace_scene_wide(
-                         sw, o, d, a, b),
-                     ray_order=r.ray_order), consts)
+                     trace_fused=fused, ray_order=r.ray_order), consts)
 
     hit, n, v, p = surf["hit"], surf["n"], surf["v"], surf["p"]
     rough, metal = surf["rough"], surf["metal"]
@@ -80,30 +84,39 @@ def main():
                            pp, td, lo, hi, active=tm > 0),
                        p, trace_dir, tmax_r)
 
-    from raytracedggx_tpu.trace.raygen import _trace_ordered
-    rec = bench("reflection trace (sorted, wide)",
-                lambda pp, td, tm, o, i: tuple(_trace_ordered(
-                    lambda _t, a, b, c, dd: trace_scene_wide(sw, a, b, c,
-                                                             dd),
-                    None, pp, td, 1e-5, tm, (o, i))),
-                p, trace_dir, tmax_r, order, inv)
-    from raytracedggx_tpu.trace.traverse import HitRecord
-    rec = HitRecord(*rec)
+    def refl_trace(pp, td, tm, o, i, tile_s=8):
+        rec, nr = _trace_ordered_fused(
+            lambda a_, b_, c_, d_: fused(a_, b_, c_, d_, tile_s=tile_s),
+            pp, td, 1e-5, tm, (o, i))
+        return tuple(rec) + (nr,)
 
-    bench("reflection trace (UNSORTED, wide)",
-          lambda pp, td, tm: tuple(trace_scene_wide(sw, pp, td, 1e-5, tm)),
+    out = bench("reflection fused (sorted)",
+                lambda pp, td, tm, o, i: refl_trace(pp, td, tm, o, i),
+                p, trace_dir, tmax_r, order, inv)
+    rec = HitRecord(*out[:6])
+    fn_r = out[6]
+
+    bench("reflection fused (UNSORTED)",
+          lambda pp, td, tm: tuple(fused(pp, td, 1e-5, tm)[0]),
           p, trace_dir, tmax_r)
 
-    bench("interp_attribs (hit gather)",
-          lambda i, pr, u, v: interp_attribs(r.geom, tlas.mesh_ids, i, pr,
-                                             u, v),
-          rec.inst, rec.prim, rec.u, rec.v)
+    for ts in (4, 2):
+        bench(f"reflection fused (sorted, tile_s={ts})",
+              lambda pp, td, tm, o, i, ts=ts: refl_trace(pp, td, tm, o, i,
+                                                         tile_s=ts),
+              p, trace_dir, tmax_r, order, inv)
+        bench(f"primary fused (tile_s={ts})",
+              lambda c, ts=ts: primary_surface(
+                  r.geom, tlas, c, r.materials, w, h,
+                  trace_fused=lambda o, d, a_, b_: fused(o, d, a_, b_,
+                                                         tile_s=ts),
+                  ray_order=r.ray_order), consts)
 
-    bench("_shade_secondary (full hit shading)",
-          lambda rc, td: _shade_secondary(r.geom, tlas.mesh_ids, consts,
-                                          r.materials, r.env, r.sh_coeffs,
-                                          HitRecord(*rc), td, False),
-          tuple(rec), trace_dir)
+    bench("_shade_secondary (fused attrs)",
+          lambda rc, nr, td, pp: _shade_secondary(
+              r.geom, tlas.mesh_ids, consts, r.materials, r.env,
+              r.sh_coeffs, HitRecord(*rc), td, False, fused_n=nr, ray_o=pp),
+          tuple(rec), fn_r, trace_dir, p)
 
     bench("sample_env mip0 (miss env lookup)",
           lambda td: sample_env(r.env, td, 0.0), trace_dir)

