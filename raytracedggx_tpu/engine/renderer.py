@@ -100,7 +100,20 @@ class Renderer:
         if mode == "wide":
             # unified world-space scene BVH: one kernel launch per wave
             # regardless of instance count; per-frame device refit is the
-            # TLAS-update analog (ops/scene_wide.py)
+            # TLAS-update analog (ops/scene_wide.py).  The whole stream
+            # must be VMEM-resident (~16 MB/core) — instances replicate
+            # their mesh's leaves in world space, so many-instance scenes
+            # can exceed it; fall back to the per-mesh object-space kernel
+            # (one launch per instance, best-t pruned) when over budget.
+            est = 0
+            L = self.config.leaf_size
+            for m in scene.mesh_ids:
+                tris = self.geom.meshes[m].tri.shape[0]
+                leaves = -(-int(tris) * 8 // (6 * L))  # ~6/8 leaf fill
+                est += leaves * (19 * L + 1) * 4       # bytes per column
+            if est > 12 * 2 ** 20:
+                mode = self.traversal = "pallas4"
+        if mode == "wide":
             from ..ops.scene_wide import build_scene_wide
             self.swide = build_scene_wide(self.geom, scene.mesh_ids,
                                           leaf_size=self.config.leaf_size)

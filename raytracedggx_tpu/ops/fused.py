@@ -216,19 +216,13 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
             bin = jnp.where(ok, inst_f, bin)
         return bt, bu, bv, bnx, bny, bnz, bpr, bin
 
-    def body(carry):
-        sp, bt, bu, bv, bnx, bny, bnz, bpr, bin = carry
-        sp = sp - 1
-        i = stack_ref[sp]
-        col = fetch(nodes_ref, i, 36)
-
-        # --- vector slab tests for all 4 children -------------------------
-        # octant mode (sorted secondary waves: every LIVE ray in the tile
-        # shares direction signs by construction of sort_rays_morton) picks
-        # the entry/exit plane per axis with SCALAR selects, saving the
-        # per-lane min/max pairs.  Signs come from the live-ray mid
-        # inverse direction.  Dead rays may disagree, but they can only
-        # cause spurious visits, never wrong hits (their t_max is -1).
+    def slab_and_items(col, valid, carry8):
+        """Slab-test one supernode's 4 children against the tile, run its
+        leaf children (gated on `valid`), and return the updated best-hit
+        carry plus (key, addr, push) scalars for its internal children.
+        The caller interleaves two independent nodes so one node's vector
+        work hides the other's reduction->scalar sync latency."""
+        bt = carry8[0]
         hits = []
         for k in range(4):
             o = k * 6
@@ -260,25 +254,23 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
                                  jnp.maximum(t0z, t1z))
             hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
 
-        # --- TWO packed reductions instead of four any()s -----------------
-        # counts fit 11 bits (TILE <= 1024 rays), packed at bit 16
+        # TWO packed reductions instead of four any()s (counts fit 11
+        # bits, TILE <= 1024 rays; packed at bit 16)
         c01 = jnp.sum(hits[0].astype(jnp.int32)
                       + (hits[1].astype(jnp.int32) << 16))
         c23 = jnp.sum(hits[2].astype(jnp.int32)
                       + (hits[3].astype(jnp.int32) << 16))
-        hk = ((c01 & 0xFFFF) > 0, (c01 >> 16) > 0,
-              (c23 & 0xFFFF) > 0, (c23 >> 16) > 0)
+        hk = (((c01 & 0xFFFF) > 0) & valid, ((c01 >> 16) > 0) & valid,
+              ((c23 & 0xFFFF) > 0) & valid, ((c23 >> 16) > 0) & valid)
 
         items = []   # (key, addr, push) scalars per child
         for k in range(4):
             kind = col[24 + k].astype(jnp.int32)
             a = col[28 + k].astype(jnp.int32)
             # leaves processed immediately (tightens best-t before descent)
-            carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin)
             carry8 = lax.cond(hk[k] & (kind == 1),
                               functools.partial(leaf_fn, a),
                               lambda c: c, carry8)
-            bt, bu, bv, bnx, bny, bnz, bpr, bin = carry8
             # scalar mid-ray distance key for ordered descent
             o = k * 6
             kx0 = (col[o + 0] - m_ox) * m_ix
@@ -291,9 +283,11 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
                                           jnp.minimum(ky0, ky1)),
                               jnp.minimum(kz0, kz1))
             items.append((key, a, hk[k] & (kind == 2)))
+        return carry8, items
 
-        # sort 4 items descending by key (far pushed first, near popped
-        # first); 5-exchange network, pure scalar selects
+    def sort4_desc(items):
+        """Sort 4 (key, addr, push) scalar triples descending by key (far
+        pushed first, near popped first); 5-exchange network."""
         def cswap(p, q):
             swap = p[0] < q[0]
 
@@ -310,15 +304,34 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
         items[0], items[2] = cswap(items[0], items[2])
         items[1], items[3] = cswap(items[1], items[3])
         items[1], items[2] = cswap(items[1], items[2])
+        return items
 
-        for key, a, push in items:
+    def body(carry):
+        sp, bt, bu, bv, bnx, bny, bnz, bpr, bin = carry
+        # pop up to TWO nodes: their fetches/slab tests are independent,
+        # so the VPU stays busy through each other's reduction latency
+        has2 = sp >= 2
+        i1 = stack_ref[sp - 1]                       # nearest (top)
+        i2 = stack_ref[jnp.maximum(sp - 2, 0)]       # stale read ok:
+        sp = jnp.where(has2, sp - 2, sp - 1)         # gated by has2
+        col1 = fetch(nodes_ref, i1, 36)
+        col2 = fetch(nodes_ref, i2, 36)
+
+        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin)
+        carry8, items1 = slab_and_items(col1, jnp.bool_(True), carry8)
+        carry8, items2 = slab_and_items(col2, has2, carry8)
+        sp_ref = sp
+        # push the farther node's children first so the near node's near
+        # child ends on top
+        for key, a, push in sort4_desc(items2) + sort4_desc(items1):
             @pl.when(push)
             def _():
-                stack_ref[sp] = a
+                stack_ref[sp_ref] = a
 
-            sp = jnp.where(push, sp + 1, sp)
+            sp_ref = jnp.where(push, sp_ref + 1, sp_ref)
 
-        return sp, bt, bu, bv, bnx, bny, bnz, bpr, bin
+        bt, bu, bv, bnx, bny, bnz, bpr, bin = carry8
+        return sp_ref, bt, bu, bv, bnx, bny, bnz, bpr, bin
 
     def cond(carry):
         return carry[0] > 0
@@ -342,7 +355,7 @@ def _fused_kernel(nodes_ref, tris_ref, rays_ref,
 
 def trace_tiles_fused(nodes, tris, ray_o, ray_d, t_min, t_max,
                       leaf_size: int, interpret: bool = False,
-                      stack: int = 64, tile_s: int = 8,
+                      stack: int = 128, tile_s: int = 8,
                       octant: bool = False):
     """Launch the fused kernel over (R, 3) world-space rays.  Returns flat
     (t, u, v, normal(R,3), prim, inst) with prim = -1 for misses; normals

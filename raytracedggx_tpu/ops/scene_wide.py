@@ -216,7 +216,8 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
             if kind[r, k] == 2:
                 d = max(d, 1 + depth[a_col[r, k]])
         depth[r] = d
-    stack = max(64, int(3 * depth[0] + 8))
+    # two-pop kernel expands two nodes per iteration (up to 8 pushes)
+    stack = max(128, int(6 * depth[0] + 16))
 
     inst_ranges = tuple(
         (leaf_off[i] * L, leaf_off[i] * L + len(mesh_recs[m][1]))

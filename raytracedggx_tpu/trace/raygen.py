@@ -469,31 +469,47 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                      radiance_r)
 
     # ---------------- diffuse wave (computeDiffuse, depth 0) -------------
+    # The default materials are fully metallic (metallic = 1 masks every
+    # diffuse ray, raygenMain:559); running the trace + hit shading + env
+    # lookup for an all-dead wave costs ~80 ms/frame @720p for nothing.
+    # A runtime lax.cond keeps exact semantics for any material set while
+    # the all-metal case pays only the cheap composite: where no diffuse
+    # ray is live, every HIT pixel's diff is masked to 0 downstream, and
+    # every SKY pixel's diff equals env(-V) — which the reflection wave
+    # already sampled (trace_dir == -V for sky).
     d_dir = cos_dir(n, xi)
     trace_dir_d = jnp.where(hit[..., None], d_dir, -v)
     tmax_d = jnp.where(hit & (metal < 1.0), T_MAX, -1.0)
-    if trace_fused is not None:
-        rec_d, fn_d = _trace_ordered_fused(trace_fused, p, trace_dir_d,
-                                           T_MIN_SECONDARY, tmax_d,
-                                           secondary_order(trace_dir_d,
-                                                           tmax_d))
-        shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
-                                    sh_coeffs, rec_d, trace_dir_d,
-                                    damp_diffuse_albedo=True,
-                                    fused_n=fn_d, ray_o=p)
-    else:
-        rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
-                               T_MIN_SECONDARY, tmax_d,
-                               secondary_order(trace_dir_d, tmax_d))
-        shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
-                                    sh_coeffs, rec_d, trace_dir_d,
-                                    damp_diffuse_albedo=True)
-    env_d = sample_env(env, trace_dir_d, 0.0)
-    radiance_d = jnp.where(rec_d.hit[..., None] & hit[..., None],
-                           shaded_d, env_d)
-    # primary albedo weight: albedo * (1 - 0.04) at depth 0 (:532)
-    diff = jnp.where(hit[..., None],
-                     radiance_d * color * (1.0 - 0.04), radiance_d)
+
+    def live_diffuse(_):
+        if trace_fused is not None:
+            rec_d, fn_d = _trace_ordered_fused(
+                trace_fused, p, trace_dir_d, T_MIN_SECONDARY, tmax_d,
+                secondary_order(trace_dir_d, tmax_d))
+            shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                        sh_coeffs, rec_d, trace_dir_d,
+                                        damp_diffuse_albedo=True,
+                                        fused_n=fn_d, ray_o=p)
+        else:
+            rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
+                                   T_MIN_SECONDARY, tmax_d,
+                                   secondary_order(trace_dir_d, tmax_d))
+            shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                        sh_coeffs, rec_d, trace_dir_d,
+                                        damp_diffuse_albedo=True)
+        env_d = sample_env(env, trace_dir_d, 0.0)
+        radiance_d = jnp.where(rec_d.hit[..., None] & hit[..., None],
+                               shaded_d, env_d)
+        # primary albedo weight: albedo * (1 - 0.04) at depth 0 (:532)
+        return jnp.where(hit[..., None],
+                         radiance_d * color * (1.0 - 0.04), radiance_d)
+
+    def dead_diffuse(_):
+        return jnp.where(hit[..., None], 0.0, env_r)
+
+    from jax import lax
+    diff = lax.cond(jnp.any(tmax_d > 0.0), live_diffuse, dead_diffuse,
+                    None)
     # metallic >= 1 pixels never get a diffuse ray (raygenMain:559)
     diff = jnp.where((metal < 1.0)[..., None], diff, 0.0)
 

@@ -15,13 +15,18 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def bench(name, fn, *args, reps=3):
-    out = jax.block_until_ready(jax.jit(fn)(*args))
-    t0 = time.time()
+def bench(name, fn, *args, reps=5):
+    """Report the MIN over reps: the tunneled backend injects sporadic
+    ~30-100 ms dispatch stalls (docs/PERF.md), and min is robust to
+    them while mean is not."""
+    jitted = jax.jit(fn)
+    out = jax.block_until_ready(jitted(*args))
+    best = float("inf")
     for _ in range(reps):
-        out = jax.block_until_ready(jax.jit(fn)(*args))
-    print(f"{name:44s} {(time.time() - t0) / reps * 1e3:8.1f} ms",
-          flush=True)
+        t0 = time.time()
+        out = jax.block_until_ready(jitted(*args))
+        best = min(best, time.time() - t0)
+    print(f"{name:44s} {best * 1e3:8.1f} ms", flush=True)
     return out
 
 
