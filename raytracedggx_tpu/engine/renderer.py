@@ -60,6 +60,8 @@ class RenderConfig:
                                     # "pallas" | "jax"
     leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
     sort_secondary: bool = True     # morton+octant sort for bounce waves
+    dbg_no_refl_trace: bool = False   # ablation knobs for differential
+    dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     async_compute: bool = True      # 'A' toggle analog: TLAS refit as its
                                     # own dispatched program vs fused into
                                     # the frame program (identical output;
@@ -318,7 +320,10 @@ class Renderer:
                              ray_order=self.ray_order,
                              sort_secondary=(cfg.sort_secondary and
                                              self.traversal in
-                                             ("pallas", "wide", "pallas4")))
+                                             ("pallas", "wide", "pallas4")),
+                             dbg_no_refl_trace=cfg.dbg_no_refl_trace,
+                             dbg_no_secondary_shade=(
+                                 cfg.dbg_no_secondary_shade))
 
         accum, frame = self._post_process(out, state.history)
 

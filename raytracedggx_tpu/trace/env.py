@@ -105,10 +105,10 @@ def face_uv_to_dir(face: int, u, v):
 def _bilinear(env: EnvMap, mip, face, u, v):
     """Bilinear sample one mip level (per-ray dynamic mip index).
 
-    The four tap gathers are wrapped in an optimization_barrier: without
-    it XLA fuses each gather into its several elementwise consumers and
-    RE-EXECUTES it per consumer (measured 4-8x blowup on TPU — the round-2
-    gather-hygiene finding, docs/PERF.md)."""
+    The four tap gathers ride one optimization_barrier so XLA cannot
+    fuse each gather into multiple elementwise consumers and re-execute
+    it per consumer (a round-2 precaution; see docs/PERF.md for what the
+    measurements did and did not support)."""
     import jax
 
     s = env.sizes[mip]

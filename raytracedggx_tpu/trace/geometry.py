@@ -89,8 +89,9 @@ def fetch_vertices(geom: SceneGeometry, mesh_ids, inst, prim):
     inst/prim may be garbage where the ray missed — caller masks.
 
     ONE barriered gather from the packed 18-wide attribute table (instead
-    of 12 per-mesh vertex gathers; gathers are op-latency-bound on TPU so
-    count, not bytes, is what costs — docs/PERF.md round 2)."""
+    of 12 per-mesh vertex gathers) — fewer ops for XLA to schedule; the
+    per-row-latency theory behind the original change was later debunked
+    (docs/PERF.md round 2)."""
     import jax
 
     # per-ray row offset: tiny static select chain over instances

@@ -95,9 +95,9 @@ def _normalize(v):
 
 def take_small(table, idx, num: int):
     """Per-ray fetch from a SMALL (num <= ~32 rows) table via one-hot
-    matmul.  TPU gathers are latency-bound per op (~35ns/index,
-    docs/PERF.md round 2); a (R, I) x (I, K) matmul rides the MXU and is
-    ~free at these sizes.  Used for per-instance matrices/materials."""
+    matmul.  Measured equal to a plain gather on TPU (docs/PERF.md round
+    2 microbench); kept because the matmul form fuses predictably and
+    rides the MXU.  Used for per-instance matrices/materials."""
     import jax
 
     oh = jax.nn.one_hot(jnp.clip(idx, 0, num - 1), num, dtype=jnp.float32)
@@ -108,10 +108,8 @@ def take_small(table, idx, num: int):
 def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
     """Trace with an optional ray permutation (2D screen-block order so
     kernel tiles get compact frusta — ops/traverse_pallas.block_order).
-
-    Permutations are gathers, and TPU gathers cost per OP, not per byte
-    (docs/PERF.md round 2) — so the 7 ray fields ride ONE bundled gather
-    in and the 6 hit fields ride TWO bundled gathers out."""
+    The ray fields ride bundled permutation gathers (one in, two out) —
+    measured neutral vs separate gathers, kept for fusion locality."""
     import jax
 
     if ray_order is None:
@@ -381,7 +379,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    mats: MaterialsDev, env: EnvMap, sh_coeffs,
                    width: int, height: int, bary_mode: str = "direct",
                    row0=0, band_height=None, trace_fn=None, ray_order=None,
-                   sort_secondary=False, trace_fused=None):
+                   sort_secondary=False, trace_fused=None,
+                   dbg_no_refl_trace=False, dbg_no_secondary_shade=False):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
     velocity, depth, vis.  row0/band_height restrict to a row band (the
@@ -418,6 +417,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     # rays the reference never traced are masked out (t_max = -1): sky
     # pixels take env directly; NoL <= 0 hit pixels contribute 0 below
     tmax_r = jnp.where(hit & (nol > 0.0), T_MAX, -1.0)
+    if dbg_no_refl_trace:     # ablation: kill the wave (profiling only)
+        tmax_r = jnp.full_like(tmax_r, -1.0)
 
     def secondary_order(dirs, tmax):
         """Morton+octant sort with dead-ray compaction for bounce waves
@@ -435,10 +436,13 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                                            T_MIN_SECONDARY, tmax_r,
                                            secondary_order(trace_dir,
                                                            tmax_r))
-        shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env,
-                                    sh_coeffs, rec_r, trace_dir,
-                                    damp_diffuse_albedo=False,
-                                    fused_n=fn_r, ray_o=p)
+        if dbg_no_secondary_shade:   # ablation (profiling only)
+            shaded_r = jnp.zeros_like(p)
+        else:
+            shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                        sh_coeffs, rec_r, trace_dir,
+                                        damp_diffuse_albedo=False,
+                                        fused_n=fn_r, ray_o=p)
     else:
         rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
                                T_MIN_SECONDARY, tmax_r,
