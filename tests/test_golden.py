@@ -61,3 +61,39 @@ if __name__ == "__main__":
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
         write_png(GOLDEN, render())
         print("wrote", GOLDEN)
+
+
+def test_fused_pipeline_matches_reference_path():
+    """Whole-pipeline A/B: traversal='wide' (fused kernel: in-kernel
+    normal interp, on-ray hit points, inverse-transform object attrs)
+    vs traversal='jax' (reference path: vertex gather + barycentric
+    interp).  The two compute surface attributes by different routes, so
+    tolerance covers fp reassociation — but any real defect (wrong
+    normal frame, bad inverse transform, leaf id mix-up) produces image
+    differences orders of magnitude above it."""
+    from raytracedggx_tpu.scene import Scene, default_materials
+    from raytracedggx_tpu.scene.mesh import ground_cube
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    def render(traversal):
+        scene = Scene(meshes=[ground_cube(), ground_cube()],
+                      materials=default_materials(),
+                      pos_scale=np.array([0, 3.0, 0, 1.0], np.float32))
+        r = Renderer(scene, config=RenderConfig(width=W, height=H,
+                                                traversal=traversal))
+        state = r.init_state()
+        frame = None
+        for _ in range(FRAMES):
+            state, frame, _ = r.step(state, 1 / 60)
+        return np.clip(np.asarray(frame), 0, 1)
+
+    a = render("jax")
+    b = render("wide")
+    diff = np.abs(a - b)
+    # measured on a correct build: mean ~2.7e-4, 3 pixels > 0.05 (t-ties
+    # on shared edges pick the other triangle -> different GGX sample);
+    # a real attribute bug shifts whole surfaces, not isolated pixels
+    assert float(np.mean(diff)) < 1e-3, f"mean diff {diff.mean()}"
+    assert float(diff.max()) < 0.15, f"max diff {diff.max()}"
+    frac_big = float((diff.max(axis=-1) > 0.05).mean())
+    assert frac_big < 2e-3, f"{frac_big:.2%} pixels differ > 0.05"
