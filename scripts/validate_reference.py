@@ -35,16 +35,29 @@ def load_ref():
     return img
 
 
+_RENDERERS = {}
+
+
+def _renderer(w, h):
+    """One Renderer per resolution: re-tracing the frame program for all
+    31 sweep angles would dominate the sweep's wall time."""
+    key = (w, h)
+    if key not in _RENDERERS:
+        from raytracedggx_tpu.engine import Renderer, RenderConfig
+        from raytracedggx_tpu.io.dds import load_cubemap_env
+        from raytracedggx_tpu.scene import Scene
+
+        env = load_cubemap_env("/root/reference/Bin/Assets/rnl_cross.dds")
+        scene = Scene.create("/root/reference/Bin/Assets/dragon.obj")
+        _RENDERERS[key] = Renderer(scene, env=env,
+                                   config=RenderConfig(width=w, height=h))
+    return _RENDERERS[key]
+
+
 def render(angle, w, h, frames=24):
     import jax.numpy as jnp
 
-    from raytracedggx_tpu.engine import Renderer, RenderConfig
-    from raytracedggx_tpu.io.dds import load_cubemap_env
-    from raytracedggx_tpu.scene import Scene
-
-    env = load_cubemap_env("/root/reference/Bin/Assets/rnl_cross.dds")
-    scene = Scene.create("/root/reference/Bin/Assets/dragon.obj")
-    r = Renderer(scene, env=env, config=RenderConfig(width=w, height=h))
+    r = _renderer(w, h)
     state = r.init_state()
     # park the model at the target angle, then accumulate TAA with dt=0
     # (pause semantics: jitter advances, animation does not —
