@@ -71,10 +71,15 @@ def _bilinear_clamp_pix(img, x, y):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
+    flat = img.reshape(h * w, img.shape[-1])
+
     def tex(xi, yi):
+        # flat 1-D gather: 2-D advanced indexing (img[yi, xi]) lowers to a
+        # multi-index-dim XLA gather that costs ~30 ms/frame @720p on TPU;
+        # the flattened form takes the fast single-index path
         xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        return img[yi, xi]
+        return flat[yi * w + xi]
 
     return (tex(x0, y0) * (1 - fx) * (1 - fy)
             + tex(x0 + 1, y0) * fx * (1 - fy)

@@ -62,10 +62,15 @@ class RenderConfig:
     sort_secondary: bool = True     # morton+octant sort for bounce waves
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
-    async_compute: bool = True      # 'A' toggle analog: TLAS refit as its
+    async_compute: bool = False     # 'A' toggle analog: TLAS refit as its
                                     # own dispatched program vs fused into
-                                    # the frame program (identical output;
-                                    # overlap matters only with >1 core)
+                                    # the frame program (identical output).
+                                    # Default OFF: on a single chip the
+                                    # split buys no overlap and measurably
+                                    # costs ~11 ms/frame @720p in dispatch
+                                    # + transfer overhead (profile_frame,
+                                    # round 2); multi-chip deployments can
+                                    # re-enable it
 
 
 class RenderState(NamedTuple):

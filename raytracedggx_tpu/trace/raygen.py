@@ -205,17 +205,30 @@ def _mip_level(env: EnvMap, rough):
     return env.num_mips - 1.0 - level
 
 
-def _spec_env_shade(env: EnvMap, n, v, rough, color, metal):
+def _spec_env_shade(env: EnvMap, n, v, rough, color, metal,
+                    dbg_mode="full"):
     """computeReflection at the recursion limit (RayTracing.hlsl:442-481,
     depth >= MAX branch): H = N, direction faded toward N by roughness,
-    mip-filtered env lookup, EnvBRDFApprox split-sum weight."""
+    mip-filtered env lookup, EnvBRDFApprox split-sum weight.
+
+    dbg_mode (profiling ablation only): "no_env" replaces the env lookup
+    with a constant; "bilinear" samples the floor mip only."""
     a = rough * rough
     r = reflect(-v, n)
     k = ((1.0 - a) * (jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) + a))[..., None]
     d = n + (r - n) * k                      # lerp(N, R, k), unnormalized
     nol = jnp.sum(n * d, axis=-1)
     nov = saturate(jnp.sum(n * v, axis=-1))
-    rad = sample_env(env, d, _mip_level(env, rough))
+    if dbg_mode == "no_env":
+        rad = jnp.full_like(d, 0.5)
+    elif dbg_mode == "bilinear":
+        from .env import dir_to_face_uv, _bilinear
+        lvl = jnp.clip(_mip_level(env, rough), 0.0, env.num_mips - 1.0)
+        face, uu, vv = dir_to_face_uv(d)
+        rad = _bilinear(env, jnp.floor(lvl).astype(jnp.int32), face, uu,
+                        vv)
+    else:
+        rad = sample_env(env, d, _mip_level(env, rough))
     rad = jnp.where((nol > 0.0)[..., None], rad, 0.0)
     f0 = 0.04 * (1.0 - metal[..., None]) + color * metal[..., None]
     return rad * env_brdf_approx(f0, rough, nov)
@@ -229,7 +242,7 @@ def _sh_shade(sh_coeffs, n, albedo):
 
 def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                      rec, ray_dir, damp_diffuse_albedo,
-                     fused_n=None, ray_o=None):
+                     fused_n=None, ray_o=None, dbg_env_mode="full"):
     """Shared closest-hit shading for depth-1 rays.
 
     Both hit shaders route by the hit material's metallic
@@ -258,7 +271,8 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
     rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
     color = get_base_color(mats.base_colors, rec.inst)[..., :3]
 
-    spec = _spec_env_shade(env, n, v, rough, color, metal)
+    spec = _spec_env_shade(env, n, v, rough, color, metal,
+                           dbg_mode=dbg_env_mode)
     albedo = jnp.where(damp_diffuse_albedo,
                        color * (1.0 - metal[..., None]), color)
     diff = _sh_shade(sh_coeffs, n, albedo)

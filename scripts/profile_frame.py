@@ -56,8 +56,16 @@ def main():
         ("no async split", dict(async_compute=False)),
     ]
     for name, kw in variants:
-        dt = run_variant(name, scene, env, frames, **base, **kw)
-        print(f"    -> stage cost ~ {full - dt:+7.1f} ms", flush=True)
+        for attempt in range(3):   # the tunnel's remote-compile endpoint
+            try:                   # drops sporadically; retry per variant
+                dt = run_variant(name, scene, env, frames, **base, **kw)
+                print(f"    -> stage cost ~ {full - dt:+7.1f} ms",
+                      flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: attempt {attempt + 1} failed: "
+                      f"{type(e).__name__}", flush=True)
+                time.sleep(20)
 
 
 if __name__ == "__main__":
