@@ -105,19 +105,18 @@ class Renderer:
             and jax.default_backend() != "tpu"
         self._interp = interp
         if mode == "wide":
-            # unified world-space scene BVH: one kernel launch per wave
-            # regardless of instance count; per-frame device refit is the
-            # TLAS-update analog (ops/scene_wide.py).  The whole stream
-            # must be VMEM-resident (~16 MB/core) — instances replicate
-            # their mesh's leaves in world space, so many-instance scenes
-            # can exceed it; fall back to the per-mesh object-space kernel
-            # (one launch per instance, best-t pruned) when over budget.
+            # unified instanced scene BVH: one kernel launch per wave
+            # regardless of instance count; shared object-space mesh
+            # subtrees (each mesh resident ONCE) entered via tagged
+            # instance nodes (ops/scene_wide.py).  The streams must be
+            # VMEM-resident (~16 MB/core); fall back to the per-mesh
+            # object-space kernel when the UNIQUE meshes exceed budget.
             est = 0
             L = self.config.leaf_size
-            for m in scene.mesh_ids:
+            for m in set(scene.mesh_ids):
                 tris = self.geom.meshes[m].tri.shape[0]
                 leaves = -(-int(tris) * 8 // (6 * L))  # ~6/8 leaf fill
-                est += leaves * (19 * L + 1) * 4       # bytes per column
+                est += leaves * (19 * L) * 4           # bytes per column
             if est > 12 * 2 ** 20:
                 mode = self.traversal = "pallas4"
         if mode == "wide":
@@ -218,7 +217,7 @@ class Renderer:
         if self.traversal == "wide":
             from ..ops.scene_wide import refit_scene_wide
             sw = refit_scene_wide(self.swide, worlds)
-            wide_arrays = (sw.nodes, sw.tris)
+            wide_arrays = (sw.nodes, sw.inv_mats)
         return tlas, wide_arrays
 
     def _refit_step(self, state: RenderState, dt):
@@ -312,7 +311,7 @@ class Renderer:
         if self.traversal == "wide":
             from ..ops.scene_wide import trace_scene_wide_fused
             sw = self.swide._replace(nodes=wide_arrays[0],
-                                     tris=wide_arrays[1])
+                                     inv_mats=wide_arrays[1])
             trace_fused = (lambda o, d, tmin, tmax:
                            trace_scene_wide_fused(sw, o, d, tmin, tmax,
                                                   interpret=self._interp))

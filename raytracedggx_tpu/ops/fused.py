@@ -63,6 +63,8 @@ def build_records4_padded(bvh, leaf_size: int = 8):
     with the fixed-size-leaf invariant the fused kernel needs."""
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
     leaf_tri = np.asarray(bvh.leaf_tri)
     n = len(leaf_tri)
     n_int = n - 1
@@ -116,9 +118,11 @@ def build_records4_padded(bvh, leaf_size: int = 8):
         for k in expand4(node):
             if k >= n_int or counts[k] <= L:
                 tris = leaves_of(k)
-                childs.append(dict(kind=1, a=emit_leaf(tris), b=len(tris)))
+                childs.append(dict(kind=1, a=emit_leaf(tris),
+                                   b=len(tris), lo=amin[k], hi=amax[k]))
             else:
-                childs.append(dict(kind=2, a=None, b=0, node=k))
+                childs.append(dict(kind=2, a=None, b=0, node=k,
+                                   lo=amin[k], hi=amax[k]))
         records[idx] = childs
         for c in childs:
             if c["kind"] == 2:
@@ -130,8 +134,10 @@ def build_records4_padded(bvh, leaf_size: int = 8):
     sys.setrecursionlimit(10 ** 5)
     try:
         if n == 1 or counts[0] <= L:
-            tris = leaves_of(0 if n > 1 else n_int)
-            records.append([dict(kind=1, a=emit_leaf(tris), b=len(tris))])
+            root = 0 if n > 1 else n_int
+            tris = leaves_of(root)
+            records.append([dict(kind=1, a=emit_leaf(tris), b=len(tris),
+                                 lo=amin[root], hi=amax[root])])
         else:
             emit(0)
     finally:
@@ -406,6 +412,304 @@ def trace_tiles_fused(nodes, tris, ray_o, ray_d, t_min, t_max,
         scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
     )(nodes, tris, rays)
+
+    def fl(x):
+        return x.reshape(G * TILE)[:R]
+
+    nrm = nrm.transpose(0, 2, 3, 1).reshape(G * TILE, 3)[:R]
+    prim_f = fl(prim_f)
+    hit = prim_f >= 0.0
+    prim = jnp.where(hit, prim_f.astype(jnp.int32), -1)
+    inst = jnp.where(hit, fl(inst_f).astype(jnp.int32), -1)
+    return fl(t), fl(u), fl(v), nrm, prim, inst
+
+
+def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
+                      t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
+                      stack_ref, *, t_min, L, RW, TILE_S):
+    """Instanced variant: shared OBJECT-space mesh subtrees entered via
+    tagged instance nodes (the reference TopLevelAS semantics,
+    XUSGRayTracing.h:195-237, done the TPU way).
+
+    Stack entries pack (node index | instance tag << 20).  On every pop
+    the tile's world rays are transformed by the tag's inverse-world
+    matrix (tag 0 = identity = world space for the top tree); because the
+    object direction is NOT renormalized, the ray parameter t stays in
+    world metric, so best-t comparisons are valid across instances.
+    Node columns: rows 0..23 child boxes (object space inside a mesh,
+    world space for top-tree rows), 24..27 kind (1 leaf / 2 internal /
+    3 instance entry), 28..31 child addr, 32..35: instance tag for
+    kind=3 (tri count for kind=1, unused otherwise).
+    Leaf columns (tris_ref): [geom 9L | object normals 9L | prim L].
+    inv_ref: (tags, 12) SMEM — rows of the inverse world (3x3 row-major
+    + translation), row 0 identity."""
+    wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
+    wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    tmax0 = rays_ref[0, 6]
+
+    eps = jnp.float32(1e-20)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < eps,
+                               jnp.where(d >= 0, eps, -eps), d)
+
+    def fetch(ref, idx, rows):
+        tile = ref[idx >> 7]
+        lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
+
+    # live-ray mid scalars (world space; transformed per pop for keys)
+    live = tmax0 >= 0.0
+    big = jnp.float32(3e38)
+
+    def mid(v):
+        return (jnp.min(jnp.where(live, v, big))
+                + jnp.max(jnp.where(live, v, -big))) * 0.5
+
+    wm_ox, wm_oy, wm_oz = mid(wox), mid(woy), mid(woz)
+    wm_dx, wm_dy, wm_dz = mid(wdx), mid(wdy), mid(wdz)
+
+    def ray_state(tag):
+        """Transform the tile's world rays into the tag's object space
+        (12 SMEM scalar reads + broadcast FMAs; tag 0 is identity)."""
+        m = [inv_ref[tag, j] for j in range(12)]
+        ox = wox * m[0] + woy * m[3] + woz * m[6] + m[9]
+        oy = wox * m[1] + woy * m[4] + woz * m[7] + m[10]
+        oz = wox * m[2] + woy * m[5] + woz * m[8] + m[11]
+        dx = wdx * m[0] + wdy * m[3] + wdz * m[6]
+        dy = wdx * m[1] + wdy * m[4] + wdz * m[7]
+        dz = wdx * m[2] + wdy * m[5] + wdz * m[8]
+        # scalar mid ray for ordered-descent keys
+        s_ox = wm_ox * m[0] + wm_oy * m[3] + wm_oz * m[6] + m[9]
+        s_oy = wm_ox * m[1] + wm_oy * m[4] + wm_oz * m[7] + m[10]
+        s_oz = wm_ox * m[2] + wm_oy * m[5] + wm_oz * m[8] + m[11]
+        s_dx = wm_dx * m[0] + wm_dy * m[3] + wm_dz * m[6]
+        s_dy = wm_dx * m[1] + wm_dy * m[4] + wm_dz * m[7]
+        s_dz = wm_dx * m[2] + wm_dy * m[5] + wm_dz * m[8]
+
+        def s_inv(v):
+            return 1.0 / jnp.where(jnp.abs(v) < eps,
+                                   jnp.where(v >= 0, eps, -eps), v)
+
+        return ((ox, oy, oz, dx, dy, dz,
+                 safe_inv(dx), safe_inv(dy), safe_inv(dz)),
+                (s_ox, s_oy, s_oz, s_inv(s_dx), s_inv(s_dy), s_inv(s_dz)))
+
+    def leaf_fn(lf, inst_f, rs, carry):
+        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        ox, oy, oz, dx, dy, dz = rs[:6]
+        colT = fetch(tris_ref, lf, RW)
+        for j in range(L):
+            o9 = 9 * j
+            v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
+            e1x, e1y, e1z = colT[o9 + 3], colT[o9 + 4], colT[o9 + 5]
+            e2x, e2y, e2z = colT[o9 + 6], colT[o9 + 7], colT[o9 + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min) & (t <= bt))
+            on = 9 * L + 9 * j
+            w0 = 1.0 - u - v
+            nx = (w0 * colT[on + 0] + u * colT[on + 3] + v * colT[on + 6])
+            ny = (w0 * colT[on + 1] + u * colT[on + 4] + v * colT[on + 7])
+            nz = (w0 * colT[on + 2] + u * colT[on + 5] + v * colT[on + 8])
+            bt = jnp.where(ok, t, bt)
+            bu = jnp.where(ok, u, bu)
+            bv = jnp.where(ok, v, bv)
+            bnx = jnp.where(ok, nx, bnx)
+            bny = jnp.where(ok, ny, bny)
+            bnz = jnp.where(ok, nz, bnz)
+            bpr = jnp.where(ok, colT[18 * L + j], bpr)
+            bin_ = jnp.where(ok, inst_f, bin_)
+        return bt, bu, bv, bnx, bny, bnz, bpr, bin_
+
+    def process_node(entry, valid, carry8):
+        """Pop-transform-test one tagged node; returns the updated carry
+        plus (key, push_value, push_flag) scalars for internal children."""
+        idx = entry & 0xFFFFF
+        tag = entry >> 20
+        rs, sm = ray_state(tag)
+        ox, oy, oz = rs[0], rs[1], rs[2]
+        ix, iy, iz = rs[6], rs[7], rs[8]
+        s_ox, s_oy, s_oz, s_ix, s_iy, s_iz = sm
+        bt = carry8[0]
+        col = fetch(nodes_ref, idx, 36)
+
+        hits = []
+        for k in range(4):
+            o = k * 6
+            t0x = (col[o + 0] - ox) * ix
+            t1x = (col[o + 3] - ox) * ix
+            t0y = (col[o + 1] - oy) * iy
+            t1y = (col[o + 4] - oy) * iy
+            t0z = (col[o + 2] - oz) * iz
+            t1z = (col[o + 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+
+        c01 = jnp.sum(hits[0].astype(jnp.int32)
+                      + (hits[1].astype(jnp.int32) << 16))
+        c23 = jnp.sum(hits[2].astype(jnp.int32)
+                      + (hits[3].astype(jnp.int32) << 16))
+        hk = (((c01 & 0xFFFF) > 0) & valid, ((c01 >> 16) > 0) & valid,
+              ((c23 & 0xFFFF) > 0) & valid, ((c23 >> 16) > 0) & valid)
+
+        items = []
+        for k in range(4):
+            kind = col[24 + k].astype(jnp.int32)
+            a = col[28 + k].astype(jnp.int32)
+            b = col[32 + k].astype(jnp.int32)
+            carry8 = lax.cond(hk[k] & (kind == 1),
+                              functools.partial(leaf_fn, a,
+                                                (tag - 1).astype(
+                                                    jnp.float32), rs),
+                              lambda c: c, carry8)
+            o = k * 6
+            kx0 = (col[o + 0] - s_ox) * s_ix
+            kx1 = (col[o + 3] - s_ox) * s_ix
+            ky0 = (col[o + 1] - s_oy) * s_iy
+            ky1 = (col[o + 4] - s_oy) * s_iy
+            kz0 = (col[o + 2] - s_oz) * s_iz
+            kz1 = (col[o + 5] - s_oz) * s_iz
+            key = jnp.maximum(jnp.maximum(jnp.minimum(kx0, kx1),
+                                          jnp.minimum(ky0, ky1)),
+                              jnp.minimum(kz0, kz1))
+            # child tag: kind=3 carries its instance tag in b; kind=2
+            # inherits the current tag
+            child_tag = jnp.where(kind == 3, b, tag)
+            items.append((key, a + (child_tag << 20),
+                          hk[k] & (kind >= 2)))
+        return carry8, items
+
+    def sort4_desc(items):
+        def cswap(p, q):
+            swap = p[0] < q[0]
+
+            def sel(x, y):
+                return jnp.where(swap, y, x), jnp.where(swap, x, y)
+
+            k1, k2 = sel(p[0], q[0])
+            a1, a2 = sel(p[1], q[1])
+            f1, f2 = sel(p[2], q[2])
+            return (k1, a1, f1), (k2, a2, f2)
+
+        items[0], items[1] = cswap(items[0], items[1])
+        items[2], items[3] = cswap(items[2], items[3])
+        items[0], items[2] = cswap(items[0], items[2])
+        items[1], items[3] = cswap(items[1], items[3])
+        items[1], items[2] = cswap(items[1], items[2])
+        return items
+
+    def body(carry):
+        sp, bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        has2 = sp >= 2
+        e1_ = stack_ref[sp - 1]
+        e2_ = stack_ref[jnp.maximum(sp - 2, 0)]
+        sp = jnp.where(has2, sp - 2, sp - 1)
+
+        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+        carry8, items1 = process_node(e1_, jnp.bool_(True), carry8)
+        carry8, items2 = process_node(e2_, has2, carry8)
+        sp_ref = sp
+        for key, a, push in sort4_desc(items2) + sort4_desc(items1):
+            @pl.when(push)
+            def _():
+                stack_ref[sp_ref] = a
+
+            sp_ref = jnp.where(push, sp_ref + 1, sp_ref)
+
+        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry8
+        return sp_ref, bt, bu, bv, bnx, bny, bnz, bpr, bin_
+
+    def cond(carry):
+        return carry[0] > 0
+
+    stack_ref[0] = 0
+    zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+    init = (jnp.int32(1), tmax0, zeros, zeros, zeros, zeros, zeros,
+            jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zeros)
+    (_, bt, bu, bv, bnx, bny, bnz, bpr, bin_) = lax.while_loop(
+        cond, body, init)
+
+    t_ref[0] = bt
+    u_ref[0] = bu
+    v_ref[0] = bv
+    n_ref[0, 0] = bnx
+    n_ref[0, 1] = bny
+    n_ref[0, 2] = bnz
+    prim_ref[0] = bpr
+    inst_ref[0] = bin_
+
+
+def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
+                          t_max, leaf_size: int, interpret: bool = False,
+                          stack: int = 128, tile_s: int = 8):
+    """Launch the instanced kernel over (R, 3) WORLD-space rays.
+    inv_mats: (tags, 12) f32, row 0 identity, row i+1 = instance i's
+    inverse world (3x3 row-major + translation).  Returns flat
+    (t, u, v, normal(R,3) OBJECT-space, prim, inst)."""
+    L = leaf_size
+    RW = tris.shape[1]
+    R = ray_o.shape[0]
+    TILE = tile_s * TILE_L
+    G = max(1, -(-R // TILE))
+    pad = G * TILE - R
+
+    def to_tiles(x):
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x.reshape(G, tile_s, TILE_L, 3).transpose(0, 3, 1, 2)
+
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tmax_t = jnp.pad(tmax_arr, (0, pad), constant_values=-1.0
+                     ).reshape(G, 1, tile_s, TILE_L)
+    rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
+                           axis=1)
+
+    tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
+                                     lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    t, u, v, nrm, prim_f, inst_f = pl.pallas_call(
+        functools.partial(_instanced_kernel, t_min=float(t_min), L=L,
+                          RW=RW, TILE_S=tile_s),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, tile_s, TILE_L),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[tile_spec(), tile_spec(), tile_spec(),
+                   pl.BlockSpec((1, 3, tile_s, TILE_L),
+                                lambda g: (g, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   tile_spec(), tile_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
+        interpret=interpret,
+    )(nodes, tris, rays, inv_mats)
 
     def fl(x):
         return x.reshape(G * TILE)[:R]

@@ -1,79 +1,68 @@
-"""Unified world-space scene BVH: single-launch multi-instance traversal.
+"""Unified scene BVH: single-launch multi-instance traversal with SHARED
+object-space mesh subtrees (the TopLevelAS semantics of the reference,
+XUSGRayTracing.h:195-237, re-designed TPU-first).
 
-Round-1 traversal looped over TLAS instances, re-launching the full packet
-kernel per instance (O(instances) cost — the gap the judge flagged vs the
-reference's real instance-level TopLevelAS, XUSGRayTracing.h:195-237).
+Round-2 final design ("instanced"): a small top-level supernode tree over
+INSTANCE world boxes enters shared per-MESH object-space subtrees through
+tagged instance nodes; the kernel transforms the ray tile by the tag's
+inverse world on every stack pop (ops/fused.py:_instanced_kernel).
+Because object directions are not renormalized, the ray parameter t stays
+world-metric and closest-hit comparisons hold across instances.
 
-TPU-native answer: ONE 4-wide supernode stream over ALL instances in WORLD
-space.  Per-mesh supernode topology is built once on the host (object
-space, quality independent of animation); instance subtrees are stitched
-under a small top-level supernode tree; and a fully vectorized on-device
-refit recomputes every AABB + triangle record from the frame's instance
-transforms.  This *is* the per-frame TLAS refit
-(RayTracer::UpdateAccelerationStructure, RayTracer.cpp:326-341) — except it
-also refits the lower levels, so rays never transform into object space
-and N instances cost one kernel launch.
-
-Round 2: leaf-major fused layout (ops/fused.py).  Every leaf is padded to
-exactly `leaf_size` slots and stored as one 128-lane column carrying world
-triangles, world NORMALS and prim/instance ids, so traversal returns fully
-shaded-ready surface attributes (normal interp at hit time) and no
-post-trace per-ray attribute gather is needed.  Refit correctness rests on
-a structural invariant of build_records4_padded: every supernode child
-covers a CONTIGUOUS range of LEAVES, so its AABB is a range min/max over
-per-leaf AABBs, answered with two power-of-two sparse-table windows
-(tables for all levels concatenated into one array -> one gather each)."""
+Wins over the earlier world-space refit layout:
+- VMEM holds each mesh ONCE regardless of instance count (a 4K scene
+  with 8 bunny instances fits comfortably; the old layout replicated
+  leaf streams per instance and fell back to per-instance launches);
+- per-frame refit touches only instance world boxes + the inverse-world
+  table — the triangle/normal streams are STATIC (the old refit rewrote
+  every stream every frame);
+- leaf columns carry OBJECT-space normals; shading transforms them by
+  the instance normal matrix (trace/raygen.py fused paths).
+"""
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..trace.traverse import HitRecord
-from .fused import build_records4_padded, trace_tiles_fused
+from .fused import build_records4_padded, trace_tiles_instanced
+
+TAG_SHIFT = 20                      # stack entry = node | (tag << 20)
+MAX_NODES = 1 << TAG_SHIFT
 
 
 class SceneWideBVH(NamedTuple):
-    # device streams consumed by the kernel (rebuilt every refit)
-    nodes: jnp.ndarray        # (Nt, 36, 128) f32 lane-tiled supernodes
-    tris: jnp.ndarray         # (Lt, RW, 128) f32 leaf-major columns
-    # static topology (host-built once)
+    # device arrays
+    nodes: jnp.ndarray        # (Nt, 36, 128) f32 (refit fills top boxes)
+    tris: jnp.ndarray         # (Lt, 19L, 128) f32 STATIC object leaves
+    inv_mats: jnp.ndarray     # (1 + I, 12) f32 inverse worlds (refit)
+    # static build products
     static_cols: jnp.ndarray  # (Npad, 12) f32: kind[4], a[4], b[4]
-    child_level: jnp.ndarray  # (N, 4) int32 leaf-RMQ window level
-    child_ab: jnp.ndarray     # (N, 4, 2) int32 window starts into the
-                              # CONCATENATED per-level leaf-box tables
-    # object-space stream geometry (static; transformed by refit);
-    # stream is leaf-padded: pad slots have v0 = NaN (never intersect)
-    v0_obj: jnp.ndarray       # (T, 3) stream order
-    e1_obj: jnp.ndarray       # (T, 3)
-    e2_obj: jnp.ndarray       # (T, 3)
-    n_obj: jnp.ndarray        # (T, 9) object-space corner normals
-    ids_row: jnp.ndarray      # (leaves, L+1) f32: prim ids + instance id
-    pad_mask: jnp.ndarray     # (T,) bool: True where a pad slot
-    # static python metadata
+    mesh_boxes: jnp.ndarray   # (N - n_top, 24) f32 object-space boxes
+    root_corners: jnp.ndarray  # (I, 8, 3) mesh-root object box corners
+    # python metadata
+    top_children: tuple       # per top node: 4x (kind, a, b) or None pads
+    n_top: int
     num_nodes: int
     leaf_size: int
-    inst_tri_ranges: tuple    # per instance (start, end) in the stream
-    stack: int                # kernel scratch stack depth
+    stack: int
 
 
 def _instance_tree(num_inst: int):
-    """Top-level supernode records over instance roots.  Returns
-    (top_records, n_top): top_records use kind=3 as a placeholder for
-    'instance root i' (a = instance index), resolved by the stitcher.
-    Node indices of internal (kind=2) children are absolute, assuming the
-    top records occupy [0, n_top)."""
-    if num_inst == 1:
-        return [], 0
+    """4-ary grouping of instance indices into top-level records.
+    Returns a list of records; records[i] = list of child descriptors
+    ('inst', i) | ('node', j).  Children nodes have larger indices than
+    their parents (preorder)."""
+    if num_inst <= 4:
+        return [[("inst", i) for i in range(num_inst)]]
 
     level = [("inst", i) for i in range(num_inst)]
-    levels = [level]
     while len(level) > 4:
-        level = [("group", level[i:i + 4]) for i in range(0, len(level), 4)]
-        levels.append(level)
+        level = [("group", level[i:i + 4])
+                 for i in range(0, len(level), 4)]
 
     records = []
 
@@ -83,160 +72,154 @@ def _instance_tree(num_inst: int):
         childs = []
         for c in children:
             if c[0] == "inst":
-                childs.append(dict(kind=3, a=c[1], b=0))
+                childs.append(("inst", c[1]))
             else:
-                childs.append(dict(kind=2, a=None, b=0, sub=c[1]))
+                childs.append(("node", c[1]))   # resolved below
         records[idx] = childs
-        for c in childs:
-            if c["kind"] == 2:
-                c["a"] = emit(c["sub"])
+        for k, c in enumerate(childs):
+            if c[0] == "node":
+                records[idx][k] = ("node", emit(c[1]))
         return idx
 
-    emit(levels[-1])
-    return records, len(records)
+    emit(level)
+    return records
 
 
 def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
                      worlds=None) -> SceneWideBVH:
-    """geom: SceneGeometry (per-mesh LBVH already built); mesh_ids:
-    instance -> mesh index.  Topology host-built once; call
-    refit_scene_wide(sw, worlds) inside the frame step to (re)fill
-    nodes/tris for the frame's instance transforms."""
+    """geom: SceneGeometry (per-mesh LBVH built); mesh_ids: instance ->
+    mesh index.  All topology + object-space geometry is host-built once;
+    refit_scene_wide(sw, worlds) fills instance world boxes + inverse
+    matrices each frame."""
     L = leaf_size
-    mesh_recs = {}
-    for m in set(mesh_ids):
-        mesh_recs[m] = build_records4_padded(geom.blas[m], L)
-
     num_inst = len(mesh_ids)
-    top_records, n_top = _instance_tree(num_inst)
+    assert num_inst < (1 << 11), "instance tag field is 11 bits"
 
-    # node / leaf stream offsets per instance
-    node_off, leaf_off = [], []
+    mesh_set = sorted(set(mesh_ids))
+    mesh_recs = {m: build_records4_padded(geom.blas[m], L)
+                 for m in mesh_set}
+
+    top_records = _instance_tree(num_inst)
+    n_top = len(top_records)
+
+    # mesh node / leaf offsets (each mesh stored ONCE)
+    node_off, leaf_off = {}, {}
     n_nodes, n_leaves = n_top, 0
-    for i, m in enumerate(mesh_ids):
+    for m in mesh_set:
         recs, stream = mesh_recs[m]
-        node_off.append(n_nodes)
-        leaf_off.append(n_leaves)
+        node_off[m] = n_nodes
+        leaf_off[m] = n_leaves
         n_nodes += len(recs)
         n_leaves += len(stream) // L
-
     N = n_nodes
+    assert N < MAX_NODES
+
     kind = np.zeros((N, 4), np.int32)
     a_col = np.zeros((N, 4), np.int32)
     b_col = np.zeros((N, 4), np.int32)
-    rng_s = np.zeros((N, 4), np.int64)   # child LEAF range start
-    rng_e = np.zeros((N, 4), np.int64)   # child LEAF range end
+    boxes = np.zeros((N, 24), np.float32)
+    for k in range(4):                   # empty children never intersect
+        boxes[:, k * 6:k * 6 + 3] = 3e38
+        boxes[:, k * 6 + 3:k * 6 + 6] = -3e38
 
-    # per-instance copies of the per-mesh records with shifted indices
-    sub_range = {}   # absolute node index -> (leaf start, leaf end)
-    for i, m in enumerate(mesh_ids):
-        recs, stream = mesh_recs[m]
-        off, loff = node_off[i], leaf_off[i]
-        # children have larger record indices than their parent (preorder
-        # emit) so a reverse sweep resolves subtree leaf ranges
-        for r in range(len(recs) - 1, -1, -1):
-            lo_s, hi_e = None, None
-            for k, c in enumerate(recs[r]):
-                if c["kind"] == 1:
-                    s, e = loff + c["a"], loff + c["a"] + 1
-                elif c["kind"] == 2:
-                    s, e = sub_range[off + c["a"]]
-                else:
-                    continue
-                lo_s = s if lo_s is None else min(lo_s, s)
-                hi_e = e if hi_e is None else max(hi_e, e)
+    # top records: kind=3 instance entries (b = tag) / kind=2 internal
+    top_children = []
+    for r, rec in enumerate(top_records):
+        childs = []
+        for k, c in enumerate(rec):
+            if c[0] == "inst":
+                i = c[1]
+                kind[r, k] = 3
+                a_col[r, k] = node_off[mesh_ids[i]]
+                b_col[r, k] = i + 1
+                childs.append((3, i, i + 1))
+            else:
+                kind[r, k] = 2
+                a_col[r, k] = c[1]
+                childs.append((2, c[1], 0))
+        top_children.append(tuple(childs))
+
+    # mesh records (object space, static boxes)
+    for m in mesh_set:
+        recs, _ = mesh_recs[m]
+        off, loff = node_off[m], leaf_off[m]
+        for r, rec in enumerate(recs):
+            for k, c in enumerate(rec):
                 kind[off + r, k] = c["kind"]
                 a_col[off + r, k] = (loff + c["a"] if c["kind"] == 1
                                      else off + c["a"])
                 b_col[off + r, k] = c["b"]
-                rng_s[off + r, k] = s
-                rng_e[off + r, k] = e
-            sub_range[off + r] = (lo_s, hi_e)
+                boxes[off + r, k * 6:k * 6 + 3] = c["lo"]
+                boxes[off + r, k * 6 + 3:k * 6 + 6] = c["hi"]
 
-    # top-level records; kind=3 placeholders become kind=2 pointers at
-    # instance-root nodes
-    for r in range(n_top - 1, -1, -1):
-        ss, ee = [], []
-        for k, c in enumerate(top_records[r]):
-            kind[r, k] = 2
-            a_col[r, k] = (node_off[c["a"]] if c["kind"] == 3 else c["a"])
-            s, e = sub_range[a_col[r, k]]
-            rng_s[r, k], rng_e[r, k] = s, e
-            ss.append(s)
-            ee.append(e)
-        sub_range[r] = (min(ss), max(ee))
-
-    # RMQ windows per child over LEAF boxes; tables for level k start at
-    # offset k * n_leaves in the concatenated array (each level is padded
-    # to n_leaves rows so offsets stay static)
-    length = np.maximum(rng_e - rng_s, 1)
-    level = np.floor(np.log2(length)).astype(np.int32)
-    ch_a = (level.astype(np.int64) * n_leaves + rng_s).astype(np.int32)
-    ch_b = (level.astype(np.int64) * n_leaves + rng_e
-            - (1 << level.astype(np.int64))).astype(np.int32)
-    child_ab = np.stack([ch_a, ch_b], axis=-1)
-
-    # object-space stream geometry + hit mapping (leaf-padded; pad = NaN)
-    v0_parts, e1_parts, e2_parts, n_parts = [], [], [], []
-    prim_parts, inst_parts, pad_parts = [], [], []
-    for i, m in enumerate(mesh_ids):
+    # static leaf columns: [geom 9L | object normals 9L | prim L]
+    cols = []
+    for m in mesh_set:
         _, stream = mesh_recs[m]
         perm = np.asarray(stream, np.int64)
         pad = perm < 0
         perm_c = np.clip(perm, 0, None)
         g = geom.meshes[m]
         v0 = np.asarray(g.v0)[perm_c].astype(np.float32)
-        v0[pad] = np.nan
-        v0_parts.append(v0)
-        e1_parts.append(np.asarray(g.e1)[perm_c].astype(np.float32))
-        e2_parts.append(np.asarray(g.e2)[perm_c].astype(np.float32))
-        tri = np.asarray(g.tri)[perm_c]                     # (Ti, 3)
-        n_parts.append(np.asarray(g.normals)[tri].reshape(-1, 9)
-                       .astype(np.float32))
-        prim_parts.append(np.where(pad, 0, perm_c).astype(np.float32))
-        inst_parts.append(np.full(len(perm) // L, i, np.float32))
-        pad_parts.append(pad)
+        v0[pad] = np.nan                     # pad slots never intersect
+        e1 = np.asarray(g.e1)[perm_c].astype(np.float32)
+        e2 = np.asarray(g.e2)[perm_c].astype(np.float32)
+        tri = np.asarray(g.tri)[perm_c]
+        nrm = np.asarray(g.normals)[tri].reshape(-1, 9).astype(np.float32)
+        geom9 = np.concatenate([v0, e1, e2], axis=1)       # (T, 9)
+        prim = np.where(pad, 0, perm_c).astype(np.float32)
+        nl = len(perm) // L
+        cols.append(np.concatenate([
+            geom9.reshape(nl, 9 * L),
+            nrm.reshape(nl, 9 * L),
+            prim.reshape(nl, L),
+        ], axis=1))
+    cols = np.concatenate(cols)                             # (leaves, 19L)
+    l_pad = -(-n_leaves // 128) * 128 - n_leaves
+    cols = np.concatenate(
+        [cols, np.zeros((l_pad, cols.shape[1]), np.float32)])
+    tris = jnp.asarray(
+        cols.reshape(-1, 128, cols.shape[1]).transpose(0, 2, 1))
 
-    prim_rows = np.concatenate(prim_parts).reshape(-1, L)
-    ids_row = np.concatenate(
-        [prim_rows, np.concatenate(inst_parts)[:, None]], axis=1)
+    # per-instance mesh-root object box corners (for world-box refit)
+    corners = np.zeros((num_inst, 8, 3), np.float32)
+    for i, m in enumerate(mesh_ids):
+        root = node_off[m]
+        live = kind[root] > 0
+        ch = boxes[root].reshape(4, 6)[live]
+        lo = ch[:, 0].min(), ch[:, 1].min(), ch[:, 2].min()
+        hi = ch[:, 3].max(), ch[:, 4].max(), ch[:, 5].max()
+        for c in range(8):
+            corners[i, c] = [hi[0] if c & 1 else lo[0],
+                             hi[1] if c & 2 else lo[1],
+                             hi[2] if c & 4 else lo[2]]
 
-    # static node columns, lane-padded
     n_pad = -(-N // 128) * 128
     static_cols = np.zeros((n_pad, 12), np.float32)
     static_cols[:N, 0:4] = kind
     static_cols[:N, 4:8] = a_col
     static_cols[:N, 8:12] = b_col
 
-    # stack depth: supernode tree height (DFS pushes <=3 extra per level)
+    # stack bound: two-pop DFS over the merged graph (kind=3 edges jump
+    # from top nodes to mesh roots, always to larger indices)
     depth = np.ones(N, np.int32)
     for r in range(N - 1, -1, -1):
         d = 1
         for k in range(4):
-            if kind[r, k] == 2:
+            if kind[r, k] >= 2:
                 d = max(d, 1 + depth[a_col[r, k]])
         depth[r] = d
-    # two-pop kernel expands two nodes per iteration (up to 8 pushes)
     stack = max(128, int(6 * depth[0] + 16))
 
-    inst_ranges = tuple(
-        (leaf_off[i] * L, leaf_off[i] * L + len(mesh_recs[m][1]))
-        for i, m in enumerate(mesh_ids))
-
     sw = SceneWideBVH(
-        nodes=None, tris=None,
+        nodes=None, tris=tris, inv_mats=None,
         static_cols=jnp.asarray(static_cols),
-        child_level=jnp.asarray(level),
-        child_ab=jnp.asarray(child_ab),
-        v0_obj=jnp.asarray(np.concatenate(v0_parts)),
-        e1_obj=jnp.asarray(np.concatenate(e1_parts)),
-        e2_obj=jnp.asarray(np.concatenate(e2_parts)),
-        n_obj=jnp.asarray(np.concatenate(n_parts)),
-        ids_row=jnp.asarray(ids_row),
-        pad_mask=jnp.asarray(np.concatenate(pad_parts)),
+        mesh_boxes=jnp.asarray(boxes[n_top:]),
+        root_corners=jnp.asarray(corners),
+        top_children=tuple(top_children),
+        n_top=n_top,
         num_nodes=N,
         leaf_size=L,
-        inst_tri_ranges=inst_ranges,
         stack=stack,
     )
     if worlds is None:
@@ -246,96 +229,76 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
 
 
 def refit_scene_wide(sw: SceneWideBVH, worlds) -> SceneWideBVH:
-    """Fully vectorized per-frame refit (jit-friendly): transform each
-    instance's contiguous stream slice by its world matrix (no gathers),
-    rebuild per-LEAF AABBs with one segmented min/max, answer every
-    supernode child's box with two windows of a concatenated leaf-box
-    sparse table, repack the lane-tiled streams.  Normals transform by
-    the inverse-transpose (shading renormalizes after interpolation)."""
-    L = sw.leaf_size
-    v0s, e1s, e2s, nrs = [], [], [], []
-    for i, (s, e) in enumerate(sw.inst_tri_ranges):
-        w = worlds[i]
-        w_it = jnp.linalg.inv(w[:3, :3]).T
-        v0s.append(sw.v0_obj[s:e] @ w[:3, :3] + w[3, :3])
-        e1s.append(sw.e1_obj[s:e] @ w[:3, :3])
-        e2s.append(sw.e2_obj[s:e] @ w[:3, :3])
-        nr = sw.n_obj[s:e].reshape(-1, 3) @ w_it
-        nrs.append(nr.reshape(-1, 9))
-    v0 = jnp.concatenate(v0s)
-    e1 = jnp.concatenate(e1s)
-    e2 = jnp.concatenate(e2s)
-    nrm = jnp.concatenate(nrs)
+    """Per-frame refit (jit-friendly, tiny): instance world boxes from
+    the 8 transformed root corners, top-tree unions, inverse-world table.
+    The object-space streams are static — this IS the TLAS-only update
+    of the reference (RayTracer::UpdateAccelerationStructure,
+    RayTracer.cpp:326-341)."""
+    num_inst = sw.root_corners.shape[0]
+    # (I, 8, 3) -> world
+    wc = (jnp.einsum("icd,ide->ice", sw.root_corners,
+                     worlds[:, :3, :3]) + worlds[:, None, 3, :3])
+    inst_lo = wc.min(axis=1)                       # (I, 3)
+    inst_hi = wc.max(axis=1)
 
+    # top boxes bottom-up (children have larger record indices)
+    n_top = sw.n_top
+    lo_rows = [None] * n_top
+    hi_rows = [None] * n_top
+    node_lo = [None] * n_top
+    node_hi = [None] * n_top
     big = jnp.float32(3e38)
-    p1 = v0 + e1
-    p2 = v0 + e2
-    t_lo = jnp.minimum(jnp.minimum(v0, p1), p2)
-    t_hi = jnp.maximum(jnp.maximum(v0, p1), p2)
-    # pad slots (v0 = NaN) must be neutral for the range min/max
-    padm = sw.pad_mask[:, None]
-    t_lo = jnp.where(padm, big, t_lo)
-    t_hi = jnp.where(padm, -big, t_hi)
-    T = t_lo.shape[0]
-    n_leaves = T // L
+    for r in range(n_top - 1, -1, -1):
+        lows, highs = [], []
+        for (knd, a, _b) in sw.top_children[r]:
+            if knd == 3:
+                lows.append(inst_lo[a])
+                highs.append(inst_hi[a])
+            else:
+                lows.append(node_lo[a])
+                highs.append(node_hi[a])
+        while len(lows) < 4:
+            lows.append(jnp.full((3,), big))
+            highs.append(jnp.full((3,), -big))
+        lo_rows[r] = jnp.stack(lows)               # (4, 3)
+        hi_rows[r] = jnp.stack(highs)
+        node_lo[r] = jnp.stack(lows[:len(sw.top_children[r])]).min(axis=0)
+        node_hi[r] = jnp.stack(
+            highs[:len(sw.top_children[r])]).max(axis=0)
 
-    # per-leaf boxes: one segmented reduction
-    leaf_lo = t_lo.reshape(n_leaves, L, 3).min(axis=1)
-    leaf_hi = t_hi.reshape(n_leaves, L, 3).max(axis=1)
+    top_boxes = jnp.stack([
+        jnp.concatenate([lo_rows[r], hi_rows[r]],
+                        axis=1).reshape(24)
+        for r in range(n_top)]) if n_top else jnp.zeros((0, 24))
 
-    # concatenated sparse table: level k rows [k*n_leaves, (k+1)*n_leaves)
-    max_level = int(np.floor(np.log2(max(n_leaves, 1))))
-    lo_levels, hi_levels = [leaf_lo], [leaf_hi]
-    for k in range(1, max_level + 1):
-        half = 1 << (k - 1)
-        prev_lo, prev_hi = lo_levels[-1], hi_levels[-1]
-        shift_lo = jnp.concatenate([prev_lo[half:], prev_lo[:half]])
-        shift_hi = jnp.concatenate([prev_hi[half:], prev_hi[:half]])
-        lo_levels.append(jnp.minimum(prev_lo, shift_lo))
-        hi_levels.append(jnp.maximum(prev_hi, shift_hi))
-    lo_tab = jnp.concatenate(lo_levels)
-    hi_tab = jnp.concatenate(hi_levels)
-
-    # two windows per child, ONE gather per corner table
-    ab = jnp.clip(sw.child_ab, 0, lo_tab.shape[0] - 1)   # (N, 4, 2)
-    lo = jnp.min(lo_tab[ab], axis=2)                     # (N, 4, 3)
-    hi = jnp.max(hi_tab[ab], axis=2)
-    # empty children keep kind=0 (the kernel ignores their boxes)
-
-    N = sw.num_nodes
-    boxes = jnp.concatenate([lo, hi], axis=-1).reshape(N, 24)
+    boxes = jnp.concatenate([top_boxes, sw.mesh_boxes])
     n_pad = sw.static_cols.shape[0]
     boxes = jnp.concatenate(
-        [boxes, jnp.zeros((n_pad - N, 24), jnp.float32)])
-    node_arr = jnp.concatenate([boxes, sw.static_cols], axis=1)  # (Npad, 36)
+        [boxes, jnp.zeros((n_pad - boxes.shape[0], 24), jnp.float32)])
+    node_arr = jnp.concatenate([boxes, sw.static_cols], axis=1)
     nodes = node_arr.reshape(-1, 128, 36).transpose(0, 2, 1)
 
-    # leaf-major tri columns: [geom 9L | normals 9L | prim L | inst 1]
-    geom_rows = jnp.concatenate([v0, e1, e2], axis=1)    # (T, 9)
-    cols = jnp.concatenate([
-        geom_rows.reshape(n_leaves, 9 * L),
-        nrm.reshape(n_leaves, 9 * L),
-        sw.ids_row,
-    ], axis=1)                                           # (leaves, 19L+1)
-    RW = cols.shape[1]
-    l_pad = -(-n_leaves // 128) * 128 - n_leaves
-    cols = jnp.concatenate([cols, jnp.zeros((l_pad, RW), jnp.float32)])
-    tris = cols.reshape(-1, 128, RW).transpose(0, 2, 1)
+    # inverse worlds, row 0 identity (tag 0 = world space)
+    a3 = worlds[:, :3, :3]
+    inv3 = jnp.linalg.inv(a3)                      # (I, 3, 3)
+    t_inv = -jnp.einsum("ic,icd->id", worlds[:, 3, :3], inv3)
+    rows = jnp.concatenate([inv3.reshape(num_inst, 9), t_inv], axis=1)
+    ident = jnp.concatenate([jnp.eye(3).reshape(9), jnp.zeros(3)]
+                            )[None].astype(jnp.float32)
+    inv_mats = jnp.concatenate([ident, rows])
 
-    return sw._replace(nodes=nodes, tris=tris)
+    return sw._replace(nodes=nodes, inv_mats=inv_mats)
 
 
 def trace_scene_wide_fused(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
                            interpret: bool = False, tile_s: int = 8):
     """Closest hit for WORLD-space rays across all instances in ONE
     kernel launch (the DispatchRays TLAS walk, RayTracer.cpp:807-809).
-    Returns (HitRecord, normal): normal is the UNNORMALIZED world-space
-    interpolated surface normal (zero where missed)."""
-    # leaf_size/stack may come back as traced-array pytree leaves when a
-    # caller jit-wraps refit_scene_wide and returns sw; they are static
-    # build-time metadata, so coerce to python ints here
-    t, u, v, nrm, prim, inst = trace_tiles_fused(
-        sw.nodes, sw.tris, ray_o, ray_d, t_min, t_max,
+    Returns (HitRecord, normal): normal is the UNNORMALIZED OBJECT-space
+    interpolated surface normal (zero where missed); callers transform by
+    the instance normal matrix."""
+    t, u, v, nrm, prim, inst = trace_tiles_instanced(
+        sw.nodes, sw.tris, sw.inv_mats, ray_o, ray_d, t_min, t_max,
         leaf_size=int(sw.leaf_size), interpret=interpret,
         stack=int(sw.stack), tile_s=tile_s)
     hit = prim >= 0

@@ -256,10 +256,14 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
     attributes come from inverse instance transforms — no vertex gather.
     """
     if fused_n is not None:
+        # fused_n is the OBJECT-space interpolated normal
         p_world = ray_o + rec.t[..., None] * ray_dir
-        pos_obj, nrm_obj = world_to_object(consts, rec.inst, len(mesh_ids),
-                                           p_world, fused_n)
-        n = _normalize(fused_n)
+        pos_obj, _ = world_to_object(consts, rec.inst, len(mesh_ids),
+                                     p_world, None)
+        nrm_obj = fused_n
+        n = _normalize(jnp.einsum(
+            "...c,...cd->...d", fused_n,
+            take_small(consts.world_its, rec.inst, len(mesh_ids))))
     else:
         pos_obj, nrm_obj = interp_attribs(geom, mesh_ids, rec.inst,
                                           rec.prim, rec.u, rec.v)
@@ -312,15 +316,17 @@ def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
     num_i = len(mesh_ids)
 
     if trace_fused is not None and bary_mode == "direct":
-        # fused kernel returns interpolated world normals; the hit point
-        # is on-ray; object-space attributes come from inverse transforms
-        rec, fnrm = _trace_ordered_fused(trace_fused, p_near, ray_d, 0.0,
-                                         T_MAX, ray_order)
+        # fused kernel returns interpolated OBJECT-space normals; the hit
+        # point is on-ray; object position comes from the inverse world
+        rec, nrm_obj = _trace_ordered_fused(trace_fused, p_near, ray_d,
+                                            0.0, T_MAX, ray_order)
         u, v = rec.u, rec.v
         p_world = p_near + rec.t[..., None] * ray_d
-        pos_obj, nrm_obj = world_to_object(consts, rec.inst, num_i,
-                                           p_world, fnrm)
-        n = _normalize(fnrm)
+        pos_obj, _ = world_to_object(consts, rec.inst, num_i,
+                                     p_world, None)
+        n = _normalize(jnp.einsum(
+            "...c,...cd->...d", nrm_obj,
+            take_small(consts.world_its, rec.inst, num_i)))
     else:
         if trace_fused is not None:     # ndc barycentrics need vertices
             def trace_fn(_tlas, o, d, a, b):

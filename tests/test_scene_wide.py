@@ -77,40 +77,55 @@ def test_wide_scene_per_ray_tmax_mask(rng):
 
 
 def test_refit_boxes_contain_triangles(rng):
-    """After refit at an arbitrary rotation, every supernode child box must
-    contain its stream range's triangles (the invariant traversal needs)."""
+    """Structural invariants of the instanced scene BVH after refit at an
+    arbitrary rotation: (a) every leaf child box contains its leaf
+    column's object-space triangles, (b) every internal child box
+    contains its target node's own child boxes, (c) every instance entry
+    box contains the world-transformed mesh root box.  Together these
+    give the global containment traversal relies on."""
     scene = _scene(((1.5, 0.5, -2.0, 0.7),))
     geom = upload_scene(scene)
-    worlds = scene.worlds(2.1)
+    worlds = np.asarray(scene.worlds(2.1))
     sw = build_scene_wide(geom, scene.mesh_ids, worlds=worlds)
 
-    # reconstruct world triangles from the leaf-major stream
     L = int(sw.leaf_size)
-    cols = np.asarray(sw.tris).transpose(0, 2, 1).reshape(
-        -1, sw.tris.shape[1])                            # (leaves_pad, RW)
-    T = sw.v0_obj.shape[0]
-    n_leaves = T // L
-    geom9 = cols[:n_leaves, :9 * L].reshape(-1, 9)       # (T, 9)
-    pad = np.asarray(sw.pad_mask)
-    v0, e1, e2 = geom9[:, 0:3], geom9[:, 3:6], geom9[:, 6:9]
-    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)       # (T, 3, 3)
-
+    RW = sw.tris.shape[1]
+    cols = np.asarray(sw.tris).transpose(0, 2, 1).reshape(-1, RW)
     nodes = np.asarray(sw.nodes).transpose(0, 2, 1).reshape(-1, 36)
-    N = sw.num_nodes
-    stat = np.asarray(sw.static_cols)
-    ab = np.asarray(sw.child_ab)
-    child_lvl = np.asarray(sw.child_level)
+    N, n_top = sw.num_nodes, sw.n_top
+    kind = nodes[:, 24:28].astype(np.int32)
+    a_col = nodes[:, 28:32].astype(np.int32)
+
+    def child_box(r, k):
+        return nodes[r, k * 6:k * 6 + 3], nodes[r, k * 6 + 3:k * 6 + 6]
+
     for r in range(N):
         for k in range(4):
-            knd = int(stat[r, k])
+            knd = kind[r, k]
             if knd == 0:
                 continue
-            lvl = int(child_lvl[r, k])
-            s = int(ab[r, k, 0]) - lvl * n_leaves        # leaf range start
-            e = int(ab[r, k, 1]) - lvl * n_leaves + (1 << lvl)
-            lo = nodes[r, k * 6:k * 6 + 3]
-            hi = nodes[r, k * 6 + 3:k * 6 + 6]
-            live = ~pad[s * L:e * L]
-            seg = pts[s * L:e * L].reshape(-1, 3)[np.repeat(live, 3)]
-            assert (seg >= lo - 1e-4).all() and (seg <= hi + 1e-4).all(), \
-                f"node {r} child {k} box does not contain its range"
+            lo, hi = child_box(r, k)
+            if knd == 1:                      # leaf: contains its tris
+                col = cols[a_col[r, k]]
+                tri9 = col[:9 * L].reshape(L, 9)
+                live = ~np.isnan(tri9[:, 0])
+                v0, e1, e2 = tri9[:, 0:3], tri9[:, 3:6], tri9[:, 6:9]
+                pts = np.concatenate([v0, v0 + e1, v0 + e2])[
+                    np.tile(live, 3)]
+                assert (pts >= lo - 1e-4).all() and \
+                    (pts <= hi + 1e-4).all(), f"leaf box {r}/{k}"
+            elif knd == 2:                    # internal: contains target
+                t = a_col[r, k]
+                for kk in range(4):
+                    if kind[t, kk] == 0:
+                        continue
+                    clo, chi = child_box(t, kk)
+                    assert (clo >= lo - 1e-4).all() and \
+                        (chi <= hi + 1e-4).all(), f"node box {r}/{k}"
+            else:                             # instance: world root box
+                inst = int(nodes[r, 32 + k]) - 1
+                corners = np.asarray(sw.root_corners)[inst]
+                w = worlds[inst]
+                wc = corners @ w[:3, :3] + w[3, :3]
+                assert (wc >= lo - 1e-4).all() and \
+                    (wc <= hi + 1e-4).all(), f"instance box {r}/{k}"
