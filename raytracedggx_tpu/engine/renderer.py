@@ -62,6 +62,7 @@ class RenderConfig:
     sort_secondary: bool = True     # morton+octant sort for bounce waves
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
+    dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
     async_compute: bool = False     # 'A' toggle analog: TLAS refit as its
                                     # own dispatched program vs fused into
                                     # the frame program (identical output).
@@ -327,7 +328,8 @@ class Renderer:
                                              ("pallas", "wide", "pallas4")),
                              dbg_no_refl_trace=cfg.dbg_no_refl_trace,
                              dbg_no_secondary_shade=(
-                                 cfg.dbg_no_secondary_shade))
+                                 cfg.dbg_no_secondary_shade),
+                             dbg_env_mode=cfg.dbg_env_mode)
 
         accum, frame = self._post_process(out, state.history)
 

@@ -153,6 +153,36 @@ def _trace_ordered_fused(trace_fused, o, d, t_min, t_max, ray_order):
     return rec, fl[:, 4:7]
 
 
+def _trace_shade_ordered_fused(trace_fused, shade_fn, env, o, d, t_min,
+                               t_max, ray_order):
+    """Trace AND shade in the sorted ray domain, un-permuting only the
+    final radiance.  Shading in sorted order is the whole point: the env
+    probe taps of neighboring rays hit neighboring texels (the morton/
+    octant sort clusters directions), which measured ~2x cheaper than
+    shading after the inverse permute (docs/PERF.md round 2).  Returns
+    (radiance (R, 3), secondary_hit (R,)) in original ray order."""
+    import jax
+
+    if ray_order is None:
+        rec, nrm = trace_fused(o, d, t_min, t_max)
+        shaded = shade_fn(rec, nrm, o, d)
+        env_rad = sample_env(env, d, 0.0)
+        rad = jnp.where(rec.hit[..., None], shaded, env_rad)
+        return rad, rec.hit
+    order, inv = ray_order
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    bundle = jax.lax.optimization_barrier(
+        jnp.concatenate([o, d, tm[:, None]], axis=-1)[order])
+    o_s, d_s = bundle[:, 0:3], bundle[:, 3:6]
+    rec, nrm = trace_fused(o_s, d_s, t_min, bundle[:, 6])
+    shaded = shade_fn(rec, nrm, o_s, d_s)
+    env_rad = sample_env(env, d_s, 0.0)      # miss radiance, still sorted
+    rad = jnp.where(rec.hit[..., None], shaded, env_rad)
+    out = jax.lax.optimization_barrier(jnp.concatenate(
+        [rad, rec.hit[..., None].astype(jnp.float32)], axis=-1)[inv])
+    return out[:, 0:3], out[:, 3] > 0.5
+
+
 def world_to_object(consts: FrameConstants, inst, num_i: int,
                     p_world=None, n_world=None):
     """Recover object-space position/normal from world-space hit data via
@@ -400,7 +430,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    width: int, height: int, bary_mode: str = "direct",
                    row0=0, band_height=None, trace_fn=None, ray_order=None,
                    sort_secondary=False, trace_fused=None,
-                   dbg_no_refl_trace=False, dbg_no_secondary_shade=False):
+                   dbg_no_refl_trace=False, dbg_no_secondary_shade=False,
+                   dbg_env_mode="full"):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
     velocity, depth, vis.  row0/band_height restrict to a row band (the
@@ -451,18 +482,27 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         hi = jnp.max(tlas.aabb_max, axis=0)
         return sort_rays_morton(p, dirs, lo, hi, active=tmax > 0)
 
+    # closestHitReflection early-out (:573): payload seeded with
+    # color * metallic; all-nonpositive seed skips hit shading
+    seed = color * metal[..., None]
+    seed_dead = jnp.all(seed <= 0.0, axis=-1, keepdims=True)
     if trace_fused is not None:
-        rec_r, fn_r = _trace_ordered_fused(trace_fused, p, trace_dir,
-                                           T_MIN_SECONDARY, tmax_r,
-                                           secondary_order(trace_dir,
-                                                           tmax_r))
-        if dbg_no_secondary_shade:   # ablation (profiling only)
-            shaded_r = jnp.zeros_like(p)
-        else:
-            shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env,
-                                        sh_coeffs, rec_r, trace_dir,
-                                        damp_diffuse_albedo=False,
-                                        fused_n=fn_r, ray_o=p)
+        # trace AND shade in the sorted ray domain (env tap locality);
+        # rec.hit implies the primary hit mask (tmax_r > 0 only there)
+        def shade_r(rec, nrm, o_s, d_s):
+            if dbg_no_secondary_shade:   # ablation (profiling only)
+                return jnp.zeros_like(o_s)
+            return _shade_secondary(geom, mesh_ids, consts, mats, env,
+                                    sh_coeffs, rec, d_s,
+                                    damp_diffuse_albedo=False,
+                                    fused_n=nrm, ray_o=o_s,
+                                    dbg_env_mode=dbg_env_mode)
+
+        radiance_r, hit_r = _trace_shade_ordered_fused(
+            trace_fused, shade_r, env, p, trace_dir, T_MIN_SECONDARY,
+            tmax_r, secondary_order(trace_dir, tmax_r))
+        radiance_r = jnp.where(seed_dead & hit_r[..., None], seed,
+                               radiance_r)
     else:
         rec_r = _trace_ordered(trace_fn, tlas, p, trace_dir,
                                T_MIN_SECONDARY, tmax_r,
@@ -470,14 +510,10 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         shaded_r = _shade_secondary(geom, mesh_ids, consts, mats, env,
                                     sh_coeffs, rec_r, trace_dir,
                                     damp_diffuse_albedo=False)
-    # closestHitReflection early-out (:573): payload seeded with
-    # color * metallic; all-nonpositive seed skips hit shading
-    seed = color * metal[..., None]
-    seed_dead = jnp.all(seed <= 0.0, axis=-1, keepdims=True)
-    shaded_r = jnp.where(seed_dead, seed, shaded_r)
-    env_r = sample_env(env, trace_dir, 0.0)
-    radiance_r = jnp.where(rec_r.hit[..., None] & hit[..., None],
-                           shaded_r, env_r)
+        shaded_r = jnp.where(seed_dead, seed, shaded_r)
+        env_r = sample_env(env, trace_dir, 0.0)
+        radiance_r = jnp.where(rec_r.hit[..., None] & hit[..., None],
+                               shaded_r, env_r)
 
     # primary BRDF weight (RayTracing.hlsl:461-478)
     f0 = 0.04 * (1.0 - metal[..., None]) + color * metal[..., None]
@@ -507,13 +543,16 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
 
     def live_diffuse(_):
         if trace_fused is not None:
-            rec_d, fn_d = _trace_ordered_fused(
-                trace_fused, p, trace_dir_d, T_MIN_SECONDARY, tmax_d,
-                secondary_order(trace_dir_d, tmax_d))
-            shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
-                                        sh_coeffs, rec_d, trace_dir_d,
+            def shade_d(rec, nrm, o_s, d_s):
+                return _shade_secondary(geom, mesh_ids, consts, mats,
+                                        env, sh_coeffs, rec, d_s,
                                         damp_diffuse_albedo=True,
-                                        fused_n=fn_d, ray_o=p)
+                                        fused_n=nrm, ray_o=o_s)
+
+            radiance_d, _hd = _trace_shade_ordered_fused(
+                trace_fused, shade_d, env, p, trace_dir_d,
+                T_MIN_SECONDARY, tmax_d,
+                secondary_order(trace_dir_d, tmax_d))
         else:
             rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
                                    T_MIN_SECONDARY, tmax_d,
@@ -521,15 +560,18 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
             shaded_d = _shade_secondary(geom, mesh_ids, consts, mats, env,
                                         sh_coeffs, rec_d, trace_dir_d,
                                         damp_diffuse_albedo=True)
-        env_d = sample_env(env, trace_dir_d, 0.0)
-        radiance_d = jnp.where(rec_d.hit[..., None] & hit[..., None],
-                               shaded_d, env_d)
+            env_d = sample_env(env, trace_dir_d, 0.0)
+            radiance_d = jnp.where(rec_d.hit[..., None] & hit[..., None],
+                                   shaded_d, env_d)
         # primary albedo weight: albedo * (1 - 0.04) at depth 0 (:532)
         return jnp.where(hit[..., None],
                          radiance_d * color * (1.0 - 0.04), radiance_d)
 
     def dead_diffuse(_):
-        return jnp.where(hit[..., None], 0.0, env_r)
+        # sky pixels: diff = env(-V), which the reflection wave already
+        # produced (trace_dir == -V there and it cannot hit)
+        sky_env = (radiance_r if trace_fused is not None else env_r)
+        return jnp.where(hit[..., None], 0.0, sky_env)
 
     from jax import lax
     diff = lax.cond(jnp.any(tmax_d > 0.0), live_diffuse, dead_diffuse,

@@ -49,6 +49,8 @@ def main():
         ("no secondary shade", dict(dbg_no_secondary_shade=True)),
         ("no refl trace+shade", dict(dbg_no_refl_trace=True,
                                      dbg_no_secondary_shade=True)),
+        ("shade env=no_env", dict(dbg_env_mode="no_env")),
+        ("shade env=bilinear", dict(dbg_env_mode="bilinear")),
         ("no spatial", dict(spatial=False)),
         ("no temporal", dict(temporal=False)),
         ("no secondary sort", dict(sort_secondary=False)),
