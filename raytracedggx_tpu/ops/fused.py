@@ -145,285 +145,6 @@ def build_records4_padded(bvh, leaf_size: int = 8):
     return records, tri_stream
 
 
-def _fused_kernel(nodes_ref, tris_ref, rays_ref,
-                  t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
-                  stack_ref, *, t_min, L, RW, TILE_S, octant=False):
-    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
-    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
-    tmax0 = rays_ref[0, 6]
-
-    eps = jnp.float32(1e-20)
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < eps,
-                               jnp.where(d >= 0, eps, -eps), d)
-
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-    def fetch(ref, idx, rows):
-        tile = ref[idx >> 7]
-        lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-        return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
-
-    # mid-ray scalars for the ordered-descent keys (live rays only)
-    live = tmax0 >= 0.0
-    big = jnp.float32(3e38)
-    m_ox = (jnp.min(jnp.where(live, ox, big))
-            + jnp.max(jnp.where(live, ox, -big))) * 0.5
-    m_oy = (jnp.min(jnp.where(live, oy, big))
-            + jnp.max(jnp.where(live, oy, -big))) * 0.5
-    m_oz = (jnp.min(jnp.where(live, oz, big))
-            + jnp.max(jnp.where(live, oz, -big))) * 0.5
-    m_ix = (jnp.min(jnp.where(live, ix, big))
-            + jnp.max(jnp.where(live, ix, -big))) * 0.5
-    m_iy = (jnp.min(jnp.where(live, iy, big))
-            + jnp.max(jnp.where(live, iy, -big))) * 0.5
-    m_iz = (jnp.min(jnp.where(live, iz, big))
-            + jnp.max(jnp.where(live, iz, -big))) * 0.5
-
-    def leaf_fn(lf, carry):
-        """Intersect all L triangles of leaf column lf (statically
-        unrolled; ONE column fetch), interpolating the world normal and
-        resolving prim/inst at best-hit update time."""
-        bt, bu, bv, bnx, bny, bnz, bpr, bin = carry
-        colT = fetch(tris_ref, lf, RW)
-        inst_f = colT[19 * L]
-        for j in range(L):
-            o9 = 9 * j
-            v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
-            e1x, e1y, e1z = colT[o9 + 3], colT[o9 + 4], colT[o9 + 5]
-            e2x, e2y, e2z = colT[o9 + 6], colT[o9 + 7], colT[o9 + 8]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = 1.0 / det
-            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= t_min) & (t <= bt))
-            on = 9 * L + 9 * j
-            w0 = 1.0 - u - v
-            nx = (w0 * colT[on + 0] + u * colT[on + 3] + v * colT[on + 6])
-            ny = (w0 * colT[on + 1] + u * colT[on + 4] + v * colT[on + 7])
-            nz = (w0 * colT[on + 2] + u * colT[on + 5] + v * colT[on + 8])
-            bt = jnp.where(ok, t, bt)
-            bu = jnp.where(ok, u, bu)
-            bv = jnp.where(ok, v, bv)
-            bnx = jnp.where(ok, nx, bnx)
-            bny = jnp.where(ok, ny, bny)
-            bnz = jnp.where(ok, nz, bnz)
-            bpr = jnp.where(ok, colT[18 * L + j], bpr)
-            bin = jnp.where(ok, inst_f, bin)
-        return bt, bu, bv, bnx, bny, bnz, bpr, bin
-
-    def slab_and_items(col, valid, carry8):
-        """Slab-test one supernode's 4 children against the tile, run its
-        leaf children (gated on `valid`), and return the updated best-hit
-        carry plus (key, addr, push) scalars for its internal children.
-        The caller interleaves two independent nodes so one node's vector
-        work hides the other's reduction->scalar sync latency."""
-        bt = carry8[0]
-        hits = []
-        for k in range(4):
-            o = k * 6
-            if octant:
-                bx0 = jnp.where(m_ix >= 0, col[o + 0], col[o + 3])
-                bx1 = jnp.where(m_ix >= 0, col[o + 3], col[o + 0])
-                by0 = jnp.where(m_iy >= 0, col[o + 1], col[o + 4])
-                by1 = jnp.where(m_iy >= 0, col[o + 4], col[o + 1])
-                bz0 = jnp.where(m_iz >= 0, col[o + 2], col[o + 5])
-                bz1 = jnp.where(m_iz >= 0, col[o + 5], col[o + 2])
-                tn = jnp.maximum(jnp.maximum((bx0 - ox) * ix,
-                                             (by0 - oy) * iy),
-                                 (bz0 - oz) * iz)
-                tf = jnp.minimum(jnp.minimum((bx1 - ox) * ix,
-                                             (by1 - oy) * iy),
-                                 (bz1 - oz) * iz)
-            else:
-                t0x = (col[o + 0] - ox) * ix
-                t1x = (col[o + 3] - ox) * ix
-                t0y = (col[o + 1] - oy) * iy
-                t1y = (col[o + 4] - oy) * iy
-                t0z = (col[o + 2] - oz) * iz
-                t1z = (col[o + 5] - oz) * iz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                             jnp.minimum(t0y, t1y)),
-                                 jnp.minimum(t0z, t1z))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                             jnp.maximum(t0y, t1y)),
-                                 jnp.maximum(t0z, t1z))
-            hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
-
-        # TWO packed reductions instead of four any()s (counts fit 11
-        # bits, TILE <= 1024 rays; packed at bit 16)
-        c01 = jnp.sum(hits[0].astype(jnp.int32)
-                      + (hits[1].astype(jnp.int32) << 16))
-        c23 = jnp.sum(hits[2].astype(jnp.int32)
-                      + (hits[3].astype(jnp.int32) << 16))
-        hk = (((c01 & 0xFFFF) > 0) & valid, ((c01 >> 16) > 0) & valid,
-              ((c23 & 0xFFFF) > 0) & valid, ((c23 >> 16) > 0) & valid)
-
-        items = []   # (key, addr, push) scalars per child
-        for k in range(4):
-            kind = col[24 + k].astype(jnp.int32)
-            a = col[28 + k].astype(jnp.int32)
-            # leaves processed immediately (tightens best-t before descent)
-            carry8 = lax.cond(hk[k] & (kind == 1),
-                              functools.partial(leaf_fn, a),
-                              lambda c: c, carry8)
-            # scalar mid-ray distance key for ordered descent
-            o = k * 6
-            kx0 = (col[o + 0] - m_ox) * m_ix
-            kx1 = (col[o + 3] - m_ox) * m_ix
-            ky0 = (col[o + 1] - m_oy) * m_iy
-            ky1 = (col[o + 4] - m_oy) * m_iy
-            kz0 = (col[o + 2] - m_oz) * m_iz
-            kz1 = (col[o + 5] - m_oz) * m_iz
-            key = jnp.maximum(jnp.maximum(jnp.minimum(kx0, kx1),
-                                          jnp.minimum(ky0, ky1)),
-                              jnp.minimum(kz0, kz1))
-            items.append((key, a, hk[k] & (kind == 2)))
-        return carry8, items
-
-    def sort4_desc(items):
-        """Sort 4 (key, addr, push) scalar triples descending by key (far
-        pushed first, near popped first); 5-exchange network."""
-        def cswap(p, q):
-            swap = p[0] < q[0]
-
-            def sel(x, y):
-                return jnp.where(swap, y, x), jnp.where(swap, x, y)
-
-            k1, k2 = sel(p[0], q[0])
-            a1, a2 = sel(p[1], q[1])
-            f1, f2 = sel(p[2], q[2])
-            return (k1, a1, f1), (k2, a2, f2)
-
-        items[0], items[1] = cswap(items[0], items[1])
-        items[2], items[3] = cswap(items[2], items[3])
-        items[0], items[2] = cswap(items[0], items[2])
-        items[1], items[3] = cswap(items[1], items[3])
-        items[1], items[2] = cswap(items[1], items[2])
-        return items
-
-    def body(carry):
-        sp, bt, bu, bv, bnx, bny, bnz, bpr, bin = carry
-        # pop up to TWO nodes: their fetches/slab tests are independent,
-        # so the VPU stays busy through each other's reduction latency
-        has2 = sp >= 2
-        i1 = stack_ref[sp - 1]                       # nearest (top)
-        i2 = stack_ref[jnp.maximum(sp - 2, 0)]       # stale read ok:
-        sp = jnp.where(has2, sp - 2, sp - 1)         # gated by has2
-        col1 = fetch(nodes_ref, i1, 36)
-        col2 = fetch(nodes_ref, i2, 36)
-
-        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin)
-        carry8, items1 = slab_and_items(col1, jnp.bool_(True), carry8)
-        carry8, items2 = slab_and_items(col2, has2, carry8)
-        sp_ref = sp
-        # push the farther node's children first so the near node's near
-        # child ends on top
-        for key, a, push in sort4_desc(items2) + sort4_desc(items1):
-            @pl.when(push)
-            def _():
-                stack_ref[sp_ref] = a
-
-            sp_ref = jnp.where(push, sp_ref + 1, sp_ref)
-
-        bt, bu, bv, bnx, bny, bnz, bpr, bin = carry8
-        return sp_ref, bt, bu, bv, bnx, bny, bnz, bpr, bin
-
-    def cond(carry):
-        return carry[0] > 0
-
-    stack_ref[0] = 0
-    zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
-    init = (jnp.int32(1), tmax0, zeros, zeros, zeros, zeros, zeros,
-            jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zeros)
-    (_, bt, bu, bv, bnx, bny, bnz, bpr, bin) = lax.while_loop(
-        cond, body, init)
-
-    t_ref[0] = bt
-    u_ref[0] = bu
-    v_ref[0] = bv
-    n_ref[0, 0] = bnx
-    n_ref[0, 1] = bny
-    n_ref[0, 2] = bnz
-    prim_ref[0] = bpr
-    inst_ref[0] = bin
-
-
-def trace_tiles_fused(nodes, tris, ray_o, ray_d, t_min, t_max,
-                      leaf_size: int, interpret: bool = False,
-                      stack: int = 128, tile_s: int = 8,
-                      octant: bool = False):
-    """Launch the fused kernel over (R, 3) world-space rays.  Returns flat
-    (t, u, v, normal(R,3), prim, inst) with prim = -1 for misses; normals
-    are UNNORMALIZED world-space interpolants."""
-    L = leaf_size
-    RW = tris.shape[1]
-    R = ray_o.shape[0]
-    TILE = tile_s * TILE_L
-    G = max(1, -(-R // TILE))
-    pad = G * TILE - R
-
-    def to_tiles(x):
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        return x.reshape(G, tile_s, TILE_L, 3).transpose(0, 3, 1, 2)
-
-    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    tmax_t = jnp.pad(tmax_arr, (0, pad), constant_values=-1.0
-                     ).reshape(G, 1, tile_s, TILE_L)
-    rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
-                           axis=1)
-
-    tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
-                                     lambda g: (g, 0, 0),
-                                     memory_space=pltpu.VMEM)
-    t, u, v, nrm, prim_f, inst_f = pl.pallas_call(
-        functools.partial(_fused_kernel, t_min=float(t_min), L=L, RW=RW,
-                          TILE_S=tile_s, octant=octant),
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 7, tile_s, TILE_L),
-                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[tile_spec(), tile_spec(), tile_spec(),
-                   pl.BlockSpec((1, 3, tile_s, TILE_L),
-                                lambda g: (g, 0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   tile_spec(), tile_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
-        interpret=interpret,
-    )(nodes, tris, rays)
-
-    def fl(x):
-        return x.reshape(G * TILE)[:R]
-
-    nrm = nrm.transpose(0, 2, 3, 1).reshape(G * TILE, 3)[:R]
-    prim_f = fl(prim_f)
-    hit = prim_f >= 0.0
-    prim = jnp.where(hit, prim_f.astype(jnp.int32), -1)
-    inst = jnp.where(hit, fl(inst_f).astype(jnp.int32), -1)
-    return fl(t), fl(u), fl(v), nrm, prim, inst
-
-
 def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
                       t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
                       stack_ref, *, t_min, L, RW, TILE_S):

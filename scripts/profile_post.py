@@ -82,15 +82,10 @@ def main():
         pp, td, lo, hi, active=tm > 0))(p, trace_dir, tmax_r)
     po, do_, tmo = p[order], trace_dir[order], tmax_r[order]
 
-    from raytracedggx_tpu.ops.fused import trace_tiles_fused
-
-    def tr(oct_):
-        return lambda pp, dd, tm: tuple(trace_tiles_fused(
-            sw.nodes, sw.tris, pp, dd, 1e-5, tm, leaf_size=sw.leaf_size,
-            stack=sw.stack, octant=oct_))[:3]
-
-    bench("reflection sorted octant=False", tr(False), po, do_, tmo)
-    bench("reflection sorted octant=True (unsafe)", tr(True), po, do_, tmo)
+    bench("reflection sorted (instanced kernel)",
+          lambda pp, dd, tm: tuple(trace_scene_wide_fused(
+              sw, pp, dd, 1e-5, tm)[0]),
+          po, do_, tmo)
 
     # ---- denoiser stages -------------------------------------------------
     from raytracedggx_tpu.denoise import (reflection_spatial_filter,
