@@ -86,7 +86,7 @@ class ShardedRenderer(Renderer):
         self.halo = int(min(halo, self.band))
 
         # per-band screen-block ray order (band + halos)
-        if self.traversal == "pallas":
+        if self.traversal in ("pallas", "wide"):
             from ..ops.traverse_pallas import block_order
             o, i = block_order(cfg.width, self.band + 2 * self.halo)
             self.band_ray_order = (jnp.asarray(o), jnp.asarray(i))
@@ -121,6 +121,17 @@ class ShardedRenderer(Renderer):
         tlas = build_tlas(list(self.geom.blas), worlds,
                           mesh_ids=self.scene.mesh_ids)
 
+        # the fused instanced kernel serves each band too: the refit is
+        # tiny (instance boxes + inverse table) and replicated per device
+        trace_fused = None
+        if self.traversal == "wide":
+            from ..ops.scene_wide import (refit_scene_wide,
+                                          trace_scene_wide_fused)
+            sw = refit_scene_wide(self.swide, worlds)
+            trace_fused = (lambda o, d, tmin, tmax:
+                           trace_scene_wide_fused(sw, o, d, tmin, tmax,
+                                                  interpret=self._interp))
+
         # render band + halo overlap (recompute: zero G-buffer traffic)
         row0 = idx * band - halo
         pad_h = band + 2 * halo
@@ -128,6 +139,7 @@ class ShardedRenderer(Renderer):
                              self.sh_coeffs, cfg.width, cfg.height,
                              bary_mode=cfg.bary_mode, row0=row0,
                              band_height=pad_h, trace_fn=self.trace_fn,
+                             trace_fused=trace_fused,
                              ray_order=self.band_ray_order)
         # rows outside the global image behave as OOB zeros
         rows_glob = row0 + jnp.arange(pad_h)

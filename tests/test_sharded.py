@@ -131,3 +131,18 @@ def test_halo_exchange_edge_semantics():
                 exp = ([0.0, 0.0] if edge == "zero"
                        else [float(rows), float(rows)])
                 np.testing.assert_array_equal(out[b, 6:, 0], exp)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
+def test_sharded_fused_kernel_band():
+    """The fused instanced kernel must serve sharded bands too (each
+    device refits + traces its band + halo; interpret mode off-TPU).
+    One tiny frame, checked finite and non-trivial."""
+    scene = tiny_scene()
+    cfg = RenderConfig(width=32, height=16, traversal="wide",
+                       spatial=False)
+    r = ShardedRenderer(scene, mesh=make_row_mesh(), halo=2, config=cfg)
+    s = r.init_state()
+    s, f, _ = r.step(s)
+    a = np.asarray(f)
+    assert np.isfinite(a).all() and a.max() > 0
