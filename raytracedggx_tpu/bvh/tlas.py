@@ -22,7 +22,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .lbvh import LBVH
 
 
 class TLAS(NamedTuple):

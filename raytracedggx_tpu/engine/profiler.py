@@ -27,7 +27,6 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     """Per-stage wall times (ms) for one frame, by jitting each stage
     separately and blocking on its outputs."""
     import jax
-    import jax.numpy as jnp
 
     from ..bvh import build_tlas
     from ..denoise import (reflection_spatial_filter,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.renderer import Renderer, RenderConfig, RenderState
+from ..engine.renderer import Renderer, RenderState
 
 AXIS = "rows"
 

@@ -11,7 +11,7 @@ The ground gets a procedural checkerboard roughness at shade time
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
