@@ -573,9 +573,15 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         sky_env = (radiance_r if trace_fused is not None else env_r)
         return jnp.where(hit[..., None], 0.0, sky_env)
 
-    from jax import lax
-    diff = lax.cond(jnp.any(tmax_d > 0.0), live_diffuse, dead_diffuse,
-                    None)
+    if trace_fused is not None:
+        # runtime-gated: the all-metallic default scene skips the whole
+        # wave.  Only on the fused path — wrapping the pure-JAX traversal
+        # in a cond explodes CPU compile time for no runtime win there.
+        from jax import lax
+        diff = lax.cond(jnp.any(tmax_d > 0.0), live_diffuse, dead_diffuse,
+                        None)
+    else:
+        diff = live_diffuse(None)
     # metallic >= 1 pixels never get a diffuse ray (raygenMain:559)
     diff = jnp.where((metal < 1.0)[..., None], diff, 0.0)
 
