@@ -97,3 +97,51 @@ def test_fused_pipeline_matches_reference_path():
     assert float(diff.max()) < 0.15, f"max diff {diff.max()}"
     frac_big = float((diff.max(axis=-1) > 0.05).mean())
     assert frac_big < 2e-3, f"{frac_big:.2%} pixels differ > 0.05"
+
+
+BUNNY_GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                            "bunny_128x72_ndc_fmt_f2.png")
+
+
+def _render_bunny():
+    """OBJ-mesh golden config (VERDICT round-1 item 5): real bunny mesh,
+    NDC barycentric reconstruction, reference-precision storage
+    round-trips — the paths the cube golden does not cover."""
+    from raytracedggx_tpu.scene import Scene
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    bunny = "/root/reference/Bin/Assets/bunny.obj"
+    if not os.path.exists(bunny):
+        pytest.skip("reference assets unavailable")
+    scene = Scene.create(bunny)
+    r = Renderer(scene, config=RenderConfig(
+        width=128, height=72, bary_mode="ndc", emulate_formats=True))
+    state = r.init_state()
+    frame = None
+    for _ in range(2):
+        state, frame, _ = r.step(state, 1 / 60)
+    return np.clip(np.asarray(frame), 0, 1)
+
+
+def test_golden_bunny_ndc_formats():
+    if not os.path.exists(BUNNY_GOLDEN):
+        pytest.skip("golden image not generated yet")
+    from PIL import Image
+
+    want = np.asarray(Image.open(BUNNY_GOLDEN), np.float32) / 255.0
+    got = _render_bunny()
+    diff = np.abs(got - want[..., :3])
+    # 8-bit PNG quantization is 1/510 ~ 2e-3; leave headroom for fp
+    # reassociation across compiler versions
+    assert float(diff.mean()) < 2e-3, f"mean diff {diff.mean()}"
+    assert float((diff.max(-1) > 0.05).mean()) < 2e-3, "pixels drifted"
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--regen-bunny" in sys.argv:
+        from raytracedggx_tpu.io import write_png
+
+        write_png(BUNNY_GOLDEN, _render_bunny())
+        print("wrote", BUNNY_GOLDEN)
