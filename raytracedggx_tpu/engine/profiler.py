@@ -39,13 +39,21 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     consts, worlds, wvp = r._constants(state, state.angle)
     tlas = build_tlas(list(r.geom.blas), worlds,
                       mesh_ids=r.scene.mesh_ids)
+    # bind EXACTLY what _frame_core binds: the fused instanced tracer with
+    # sorted-domain shading for "wide" (round-2 verdict: the old compat
+    # wrapper profiled a pipeline frames never run)
     trace_fn = r.trace_fn
+    trace_fused = None
     if r.traversal == "wide":
-        from ..ops.scene_wide import refit_scene_wide, trace_scene_wide
+        from ..ops.scene_wide import (refit_scene_wide,
+                                      trace_scene_wide_fused)
         sw = jax.jit(lambda w: refit_scene_wide(r.swide, w))(worlds)
-        trace_fn = (lambda _tlas, o, d, tmin, tmax:
-                    trace_scene_wide(sw, o, d, tmin, tmax,
-                                     interpret=r._interp))
+        trace_fused = (lambda o, d, tmin, tmax:
+                       trace_scene_wide_fused(sw, o, d, tmin, tmax,
+                                              interpret=r._interp))
+        trace_fn = None
+    sort_secondary = (cfg.sort_secondary
+                      and r.traversal in ("pallas", "wide", "pallas4"))
 
     def bench(name, fn):
         out = jax.block_until_ready(fn())
@@ -56,12 +64,14 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     times = {}
     f_prim = jax.jit(lambda: primary_surface(
         r.geom, tlas, consts, r.materials, cfg.width, cfg.height,
-        trace_fn=trace_fn, ray_order=r.ray_order)["hit"])
+        trace_fn=trace_fn, trace_fused=trace_fused,
+        ray_order=r.ray_order)["hit"])
     _, times["primary_ms"] = bench("primary", f_prim)
 
     f_trace = jax.jit(lambda: ray_trace_pass(
         r.geom, tlas, consts, r.materials, r.env, r.sh_coeffs,
         cfg.width, cfg.height, trace_fn=trace_fn,
+        trace_fused=trace_fused, sort_secondary=sort_secondary,
         ray_order=r.ray_order))
     out, times["trace_total_ms"] = bench("trace", f_trace)
 

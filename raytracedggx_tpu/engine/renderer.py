@@ -117,8 +117,20 @@ class Renderer:
             for m in set(scene.mesh_ids):
                 tris = self.geom.meshes[m].tri.shape[0]
                 leaves = -(-int(tris) * 8 // (6 * L))  # ~6/8 leaf fill
-                est += leaves * (19 * L) * 4           # bytes per column
+                est += leaves * (19 * L) * 4           # leaf-column bytes
+                est += -(-leaves // 3) * 36 * 4        # supernode columns
             if est > 12 * 2 ** 20:
+                if self.config.traversal == "wide":
+                    raise ValueError(
+                        f"traversal='wide' requested but the scene's "
+                        f"unique-mesh streams (~{est / 2 ** 20:.1f} MB) "
+                        f"exceed the VMEM budget; use traversal='pallas4' "
+                        f"or a larger leaf_size")
+                import warnings
+                warnings.warn(
+                    f"scene streams ~{est / 2 ** 20:.1f} MB exceed the "
+                    f"VMEM budget; falling back to per-mesh launches "
+                    f"(traversal='pallas4')", stacklevel=2)
                 mode = self.traversal = "pallas4"
         if mode == "wide":
             from ..ops.scene_wide import build_scene_wide

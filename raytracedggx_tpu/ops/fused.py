@@ -23,20 +23,28 @@ This is the TPU-native replacement for the DXR DispatchRays traversal +
 closest-hit attribute fetch (XUSGRayTracing.h:306-341 with the hit-group
 vertex fetch, RayTracing.hlsl:230-244).
 
-Layout
-------
-nodes: (Nt, 36, 128) f32 supernode columns (same as ops/wide.py):
-  rows 0..23  4 children x (lo.xyz, hi.xyz)
-  rows 24..27 child kind (0 empty / 1 leaf / 2 internal)
-  rows 28..31 child addr: supernode index | leaf index
-  rows 32..35 child triangle count (refit metadata; kernel ignores)
-tris: (Lt, RW, 128) f32 leaf columns, leaf j at tile j>>7 lane j&127:
-  rows 0          .. 9L-1      tri k: v0.xyz e1.xyz e2.xyz at 9k
-  rows 9L         .. 18L-1     tri k: n0.xyz n1.xyz n2.xyz at 9L+9k
-  rows 18L        .. 19L-1     tri k: prim id as f32 (exact < 2^24)
-  row  19L                     instance id as f32
-Padding triangles carry v0 = NaN so every intersection test fails
-(u/v/t become NaN, all comparisons false).
+Layout (instanced, built by ops/scene_wide.build_scene_wide)
+------------------------------------------------------------
+nodes: (Nt, 36, 128) f32 supernode columns, node i at tile i>>7 lane
+i&127.  The first n_top nodes are the TOP tree over instance WORLD
+boxes; the rest are shared per-mesh OBJECT-space subtrees:
+  rows 0..23  4 children x (lo.xyz, hi.xyz) — world space in top rows,
+              object space inside a mesh subtree
+  rows 24..27 child kind (0 empty / 1 leaf / 2 internal / 3 instance
+              entry into a mesh subtree)
+  rows 28..31 child addr: supernode index (kind 2/3) | leaf index (1)
+  rows 32..35 kind=3: instance tag (1-based; tag 0 = world/identity);
+              kind=1: triangle count (metadata; kernel ignores)
+tris: (Lt, RW, 128) f32 STATIC object-space leaf columns, leaf j at
+tile j>>7 lane j&127 (RW = 19L):
+  rows 0    .. 9L-1    tri k: v0.xyz e1.xyz e2.xyz at 9k (OBJECT space)
+  rows 9L   .. 18L-1   tri k: n0.xyz n1.xyz n2.xyz at 9L+9k (OBJECT-
+                       space vertex normals; shading applies the
+                       instance normal matrix)
+  rows 18L  .. 19L-1   tri k: prim id as f32 (exact < 2^24)
+The hit's instance id is derived from the stack tag (tag - 1), not
+stored per leaf.  Padding triangles carry v0 = NaN so every
+intersection test fails (u/v/t become NaN, all comparisons false).
 """
 
 from __future__ import annotations
@@ -347,12 +355,17 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
         carry8, items1 = process_node(e1_, jnp.bool_(True), carry8)
         carry8, items2 = process_node(e2_, has2, carry8)
         sp_ref = sp
+        cap = stack_ref.shape[0] - 1
         for key, a, push in sort4_desc(items2) + sort4_desc(items1):
+            # clamp: scene_wide sizes the stack for the two-pop DFS bound,
+            # but a direct caller with an undersized stack must degrade to
+            # a dropped subtree, never a silent OOB SMEM write
             @pl.when(push)
             def _():
-                stack_ref[sp_ref] = a
+                stack_ref[jnp.minimum(sp_ref, cap)] = a
 
-            sp_ref = jnp.where(push, sp_ref + 1, sp_ref)
+            sp_ref = jnp.where(push, jnp.minimum(sp_ref + 1, cap),
+                               sp_ref)
 
         bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry8
         return sp_ref, bt, bu, bv, bnx, bny, bnz, bpr, bin_
