@@ -1,0 +1,346 @@
+"""Experimental variants of the instanced traversal kernel (ops/fused.py).
+
+This is the round-3 perf lab: each variant isolates ONE structural change
+so scripts/kbench.py can price it on the real TPU with chained-loop
+timing.  Winners graduate into ops/fused.py; losers stay here with their
+measured numbers in docs/PERF.md.
+
+Variants (static python flags on `_lab_kernel`):
+  stats       — count (pops, leaf visits) per tile; prices the loop itself
+  smem_nodes  — supernode columns live in SMEM as (Npad, 36) scalars:
+                node fetch = 36 scalar loads instead of a 128-lane
+                masked-sum + 36 vector->scalar extracts
+  npop        — nodes popped per while-loop iteration (1/2/4): amortizes
+                the vector->scalar sync (packed hit reductions) across
+                more vector work
+  ordered     — near-first ordered descent on/off (prices the scalar
+                mid-ray keys + sorting network)
+
+Layout contracts are identical to ops/fused.py (instanced scene-wide
+columns from ops/scene_wide.build_scene_wide).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_L = 128
+
+
+def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
+                t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
+                stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
+                stats: bool, smem_nodes: bool, npop: int, ordered: bool):
+    wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
+    wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    tmax0 = rays_ref[0, 6]
+
+    eps = jnp.float32(1e-20)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < eps,
+                               jnp.where(d >= 0, eps, -eps), d)
+
+    def fetch(ref, idx, rows):
+        tile = ref[idx >> 7]
+        lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
+
+    live = tmax0 >= 0.0
+    big = jnp.float32(3e38)
+
+    def mid(v):
+        return (jnp.min(jnp.where(live, v, big))
+                + jnp.max(jnp.where(live, v, -big))) * 0.5
+
+    wm_ox, wm_oy, wm_oz = mid(wox), mid(woy), mid(woz)
+    wm_dx, wm_dy, wm_dz = mid(wdx), mid(wdy), mid(wdz)
+
+    def ray_state(tag):
+        m = [inv_ref[tag, j] for j in range(12)]
+        ox = wox * m[0] + woy * m[3] + woz * m[6] + m[9]
+        oy = wox * m[1] + woy * m[4] + woz * m[7] + m[10]
+        oz = wox * m[2] + woy * m[5] + woz * m[8] + m[11]
+        dx = wdx * m[0] + wdy * m[3] + wdz * m[6]
+        dy = wdx * m[1] + wdy * m[4] + wdz * m[7]
+        dz = wdx * m[2] + wdy * m[5] + wdz * m[8]
+        s_ox = wm_ox * m[0] + wm_oy * m[3] + wm_oz * m[6] + m[9]
+        s_oy = wm_ox * m[1] + wm_oy * m[4] + wm_oz * m[7] + m[10]
+        s_oz = wm_ox * m[2] + wm_oy * m[5] + wm_oz * m[8] + m[11]
+        s_dx = wm_dx * m[0] + wm_dy * m[3] + wm_dz * m[6]
+        s_dy = wm_dx * m[1] + wm_dy * m[4] + wm_dz * m[7]
+        s_dz = wm_dx * m[2] + wm_dy * m[5] + wm_dz * m[8]
+
+        def s_inv(v):
+            return 1.0 / jnp.where(jnp.abs(v) < eps,
+                                   jnp.where(v >= 0, eps, -eps), v)
+
+        return ((ox, oy, oz, dx, dy, dz,
+                 safe_inv(dx), safe_inv(dy), safe_inv(dz)),
+                (s_ox, s_oy, s_oz, s_inv(s_dx), s_inv(s_dy), s_inv(s_dz)))
+
+    def leaf_fn(lf, inst_f, rs, carry):
+        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        ox, oy, oz, dx, dy, dz = rs[:6]
+        colT = fetch(tris_ref, lf, RW)
+        for j in range(L):
+            o9 = 9 * j
+            v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
+            e1x, e1y, e1z = colT[o9 + 3], colT[o9 + 4], colT[o9 + 5]
+            e2x, e2y, e2z = colT[o9 + 6], colT[o9 + 7], colT[o9 + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min) & (t <= bt))
+            on = 9 * L + 9 * j
+            w0 = 1.0 - u - v
+            nx = (w0 * colT[on + 0] + u * colT[on + 3] + v * colT[on + 6])
+            ny = (w0 * colT[on + 1] + u * colT[on + 4] + v * colT[on + 7])
+            nz = (w0 * colT[on + 2] + u * colT[on + 5] + v * colT[on + 8])
+            bt = jnp.where(ok, t, bt)
+            bu = jnp.where(ok, u, bu)
+            bv = jnp.where(ok, v, bv)
+            bnx = jnp.where(ok, nx, bnx)
+            bny = jnp.where(ok, ny, bny)
+            bnz = jnp.where(ok, nz, bnz)
+            bpr = jnp.where(ok, colT[18 * L + j], bpr)
+            bin_ = jnp.where(ok, inst_f, bin_)
+        return bt, bu, bv, bnx, bny, bnz, bpr, bin_
+
+    def process_node(entry, valid, carry8, lp):
+        idx = entry & 0xFFFFF
+        tag = entry >> 20
+        rs, sm = ray_state(tag)
+        ox, oy, oz = rs[0], rs[1], rs[2]
+        ix, iy, iz = rs[6], rs[7], rs[8]
+        s_ox, s_oy, s_oz, s_ix, s_iy, s_iz = sm
+        bt = carry8[0]
+        if smem_nodes:
+            col = [nodes_ref[idx, r] for r in range(36)]
+        else:
+            colv = fetch(nodes_ref, idx, 36)
+            col = [colv[r] for r in range(36)]
+
+        hits = []
+        for k in range(4):
+            o = k * 6
+            t0x = (col[o + 0] - ox) * ix
+            t1x = (col[o + 3] - ox) * ix
+            t0y = (col[o + 1] - oy) * iy
+            t1y = (col[o + 4] - oy) * iy
+            t0z = (col[o + 2] - oz) * iz
+            t1z = (col[o + 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+
+        c01 = jnp.sum(hits[0].astype(jnp.int32)
+                      + (hits[1].astype(jnp.int32) << 16))
+        c23 = jnp.sum(hits[2].astype(jnp.int32)
+                      + (hits[3].astype(jnp.int32) << 16))
+        hk = (((c01 & 0xFFFF) > 0) & valid, ((c01 >> 16) > 0) & valid,
+              ((c23 & 0xFFFF) > 0) & valid, ((c23 >> 16) > 0) & valid)
+
+        items = []
+        for k in range(4):
+            kind = col[24 + k].astype(jnp.int32)
+            a = col[28 + k].astype(jnp.int32)
+            b = col[32 + k].astype(jnp.int32)
+            is_leaf = hk[k] & (kind == 1)
+            carry8 = lax.cond(is_leaf,
+                              functools.partial(leaf_fn, a,
+                                                (tag - 1).astype(
+                                                    jnp.float32), rs),
+                              lambda c: c, carry8)
+            if stats:
+                lp = lp + is_leaf.astype(jnp.int32)
+            if ordered:
+                o = k * 6
+                kx0 = (col[o + 0] - s_ox) * s_ix
+                kx1 = (col[o + 3] - s_ox) * s_ix
+                ky0 = (col[o + 1] - s_oy) * s_iy
+                ky1 = (col[o + 4] - s_oy) * s_iy
+                kz0 = (col[o + 2] - s_oz) * s_iz
+                kz1 = (col[o + 5] - s_oz) * s_iz
+                key = jnp.maximum(jnp.maximum(jnp.minimum(kx0, kx1),
+                                              jnp.minimum(ky0, ky1)),
+                                  jnp.minimum(kz0, kz1))
+            else:
+                key = jnp.float32(0.0)
+            child_tag = jnp.where(kind == 3, b, tag)
+            items.append((key, a + (child_tag << 20),
+                          hk[k] & (kind >= 2)))
+        return carry8, items, lp
+
+    def sort4_desc(items):
+        if not ordered:
+            return items
+
+        def cswap(p, q):
+            swap = p[0] < q[0]
+
+            def sel(x, y):
+                return jnp.where(swap, y, x), jnp.where(swap, x, y)
+
+            k1, k2 = sel(p[0], q[0])
+            a1, a2 = sel(p[1], q[1])
+            f1, f2 = sel(p[2], q[2])
+            return (k1, a1, f1), (k2, a2, f2)
+
+        items[0], items[1] = cswap(items[0], items[1])
+        items[2], items[3] = cswap(items[2], items[3])
+        items[0], items[2] = cswap(items[0], items[2])
+        items[1], items[3] = cswap(items[1], items[3])
+        items[1], items[2] = cswap(items[1], items[2])
+        return items
+
+    def body(carry):
+        sp, it, lp, bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+        entries = []
+        for p in range(npop):
+            has = sp >= (p + 1)
+            e = stack_ref[jnp.maximum(sp - 1 - p, 0)]
+            entries.append((e, has))
+        sp = jnp.maximum(sp - npop, 0)
+
+        all_items = []
+        for e, has in entries:
+            carry8, items, lp = process_node(e, has, carry8, lp)
+            all_items = sort4_desc(items) + all_items
+
+        sp_ref = sp
+        cap = stack_ref.shape[0] - 1
+        for key, a, push in all_items:
+            @pl.when(push)
+            def _():
+                stack_ref[jnp.minimum(sp_ref, cap)] = a
+
+            sp_ref = jnp.where(push, jnp.minimum(sp_ref + 1, cap), sp_ref)
+
+        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry8
+        return (sp_ref, it + 1, lp, bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+
+    def cond(carry):
+        return carry[0] > 0
+
+    stack_ref[0] = 0
+    zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+    init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), tmax0,
+            zeros, zeros, zeros, zeros, zeros,
+            jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zeros)
+    (_, it, lp, bt, bu, bv, bnx, bny, bnz, bpr, bin_) = lax.while_loop(
+        cond, body, init)
+
+    t_ref[0] = bt
+    u_ref[0] = bu
+    v_ref[0] = bv
+    n_ref[0, 0] = bnx
+    n_ref[0, 1] = bny
+    n_ref[0, 2] = bnz
+    prim_ref[0] = bpr
+    inst_ref[0] = bin_
+    stats_ref[0, 0] = it
+    stats_ref[0, 1] = lp
+
+
+def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
+                    t_max, leaf_size: int, interpret: bool = False,
+                    stack: int = 128, tile_s: int = 8,
+                    stats: bool = False, smem_nodes: bool = False,
+                    npop: int = 2, ordered: bool = True):
+    """Lab launcher mirroring ops/fused.trace_tiles_instanced, plus a
+    (G, 2) int32 stats output (while-loop iterations, leaf visits per
+    tile).  `nodes` must be the flat (Npad, 36) host-order array when
+    smem_nodes=True (ops/scene_wide keeps it as (Nt, 36, 128) columns
+    otherwise)."""
+    L = leaf_size
+    RW = tris.shape[1]
+    R = ray_o.shape[0]
+    TILE = tile_s * TILE_L
+    G = max(1, -(-R // TILE))
+    pad = G * TILE - R
+
+    def to_tiles(x):
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x.reshape(G, tile_s, TILE_L, 3).transpose(0, 3, 1, 2)
+
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tmax_t = jnp.pad(tmax_arr, (0, pad), constant_values=-1.0
+                     ).reshape(G, 1, tile_s, TILE_L)
+    rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
+                           axis=1)
+
+    node_space = pltpu.SMEM if smem_nodes else pltpu.VMEM
+    tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
+                                     lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    t, u, v, nrm, prim_f, inst_f, st = pl.pallas_call(
+        functools.partial(_lab_kernel, t_min=float(t_min), L=L,
+                          RW=RW, TILE_S=tile_s, stats=stats,
+                          smem_nodes=smem_nodes, npop=npop,
+                          ordered=ordered),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=node_space),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, tile_s, TILE_L),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[tile_spec(), tile_spec(), tile_spec(),
+                   pl.BlockSpec((1, 3, tile_s, TILE_L),
+                                lambda g: (g, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   tile_spec(), tile_spec(),
+                   pl.BlockSpec((1, 2), lambda g: (g, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((G, 2), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
+        interpret=interpret,
+    )(nodes, tris, rays, inv_mats)
+
+    def fl(x):
+        return x.reshape(G * TILE)[:R]
+
+    nrm = nrm.transpose(0, 2, 3, 1).reshape(G * TILE, 3)[:R]
+    prim_f = fl(prim_f)
+    hit = prim_f >= 0.0
+    prim = jnp.where(hit, prim_f.astype(jnp.int32), -1)
+    inst = jnp.where(hit, fl(inst_f).astype(jnp.int32), -1)
+    return fl(t), fl(u), fl(v), nrm, prim, inst, st
+
+
+def nodes_flat_for_smem(sw):
+    """Rebuild the flat (Npad, 36) row-major node table from a refit
+    SceneWideBVH's column layout (inverse of the reshape in
+    ops/scene_wide.refit_scene_wide)."""
+    return sw.nodes.transpose(0, 2, 1).reshape(-1, 36)

@@ -1,0 +1,193 @@
+"""Traversal-kernel micro-bench (round 3): price each ops/fused_lab
+variant on the real TPU with chained-loop timing (the only reliable
+methodology on the tunneled backend — docs/PERF.md).
+
+Workload: bunny @720p.  Two ray sets:
+  primary    — camera rays in screen-block order (coherent)
+  reflection — GGX bounce rays from the real primary surface, morton+
+               octant sorted with dead rays compacted to the tail
+               (matches what ray_trace_pass feeds the kernel)
+
+Usage: python scripts/kbench.py [frames-per-variant] [variant...]
+Variants: stats base smem npop1 npop4 unordered tile16 tile32 alldead
+(default: all).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from raytracedggx_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+W, H = 1280, 720
+T_MAX = 10000.0
+
+
+def build():
+    from raytracedggx_tpu.scene import Scene
+    from raytracedggx_tpu.scene.camera import Camera
+    from raytracedggx_tpu.trace.geometry import upload_scene
+    from raytracedggx_tpu.ops.scene_wide import build_scene_wide
+    from raytracedggx_tpu.ops.traverse_pallas import block_order
+    from raytracedggx_tpu.utils import math3d as m3
+
+    scene = Scene.create("/root/reference/Bin/Assets/bunny.obj")
+    geom = upload_scene(scene, leaf_size=8)
+    sw = build_scene_wide(geom, scene.mesh_ids, leaf_size=8)
+
+    cam = Camera(width=W, height=H)
+    view_proj = jnp.asarray(cam.view_proj())
+    proj_to_world = m3.inverse(view_proj)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0
+    ys = -((jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0 - 1.0)
+    sx, sy = jnp.meshgrid(xs, ys, indexing="xy")
+    ndc = jnp.stack([sx.reshape(-1), sy.reshape(-1)], axis=-1)
+    ndc_h = jnp.concatenate(
+        [ndc, jnp.zeros_like(ndc[..., :1]), jnp.ones_like(ndc[..., :1])],
+        axis=-1)
+    world = ndc_h @ proj_to_world
+    p_near = world[..., :3] / world[..., 3:4]
+    d = p_near - eye
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    order, _inv = block_order(W, H)
+    o_p = p_near[jnp.asarray(order)]
+    d_p = d[jnp.asarray(order)]
+    return scene, geom, sw, o_p, d_p
+
+
+def reflection_rays(sw, o_p, d_p):
+    """Trace the primary set once, then build morton-sorted GGX bounce
+    rays from the hits (mirrors ray_trace_pass's reflection wave)."""
+    from raytracedggx_tpu.ops.fused import trace_tiles_instanced
+    from raytracedggx_tpu.ops.traverse_pallas import sort_rays_morton
+    from raytracedggx_tpu.trace.sampling import sample_param, ggx_dir
+    from raytracedggx_tpu.utils.math3d import reflect
+
+    t, u, v, nrm, prim, inst = trace_tiles_instanced(
+        sw.nodes, sw.tris, sw.inv_mats, o_p, d_p, 0.0, T_MAX,
+        leaf_size=8, stack=int(sw.stack))
+    hit = prim >= 0
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                          1e-20)
+    p = o_p + t[..., None] * d_p
+    px = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+    py = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    xi = sample_param(px, py, W, jnp.uint32(0))
+    a = jnp.float32(0.16)  # rough ~0.4 — representative glossy lobe
+    h_vec = ggx_dir(jnp.full(p.shape[:1], a), n, xi)
+    r_dir = reflect(d_p, h_vec)
+    tmax = jnp.where(hit & (jnp.sum(n * r_dir, axis=-1) > 0), T_MAX, -1.0)
+
+    boxes0 = sw.nodes[0, :24, 0].reshape(4, 6)   # root supernode children
+    lo = jnp.min(boxes0[:, 0:3], axis=0)
+    hi = jnp.max(boxes0[:, 3:6], axis=0)
+    order, _inv = sort_rays_morton(p, r_dir, lo, hi, active=tmax > 0)
+    return p[order], r_dir[order], tmax[order]
+
+
+def time_chain(launch, o, d, tmax, frames):
+    @jax.jit
+    def chain(o, d, tmax):
+        def body(i, acc):
+            t = launch(o, d, tmax + acc)
+            return jnp.sum(t) * 1e-30
+
+        return jax.lax.fori_loop(0, frames, body, jnp.float32(0.0))
+
+    np.asarray(chain(o, d, tmax))      # compile + warm
+    t0 = time.time()
+    np.asarray(chain(o, d, tmax))
+    return (time.time() - t0) / frames * 1e3
+
+
+def main():
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+    from raytracedggx_tpu.ops.fused_lab import (trace_tiles_lab,
+                                                nodes_flat_for_smem)
+
+    scene, geom, sw, o_p, d_p = build()
+    o_r, d_r, tm_r = reflection_rays(sw, o_p, d_p)
+    live = int(np.asarray(tm_r > 0).sum())
+    print(f"rays: primary {o_p.shape[0]}, reflection live {live}",
+          flush=True)
+    nodes_flat = nodes_flat_for_smem(sw)
+
+    def variant(name, **kw):
+        if only and name not in only:
+            return
+        smem = kw.pop("smem_nodes", False)
+        nodes = nodes_flat if smem else sw.nodes
+        tile_s = kw.pop("tile_s", 8)
+
+        if kw.pop("stats", False):
+            _, _, _, _, _, _, st = trace_tiles_lab(
+                nodes, sw.tris, sw.inv_mats, o_p, d_p, 0.0, T_MAX,
+                leaf_size=8, stack=int(sw.stack), tile_s=tile_s,
+                stats=True, smem_nodes=smem, **kw)
+            st = np.asarray(st)
+            _, _, _, _, _, _, st_r = trace_tiles_lab(
+                nodes, sw.tris, sw.inv_mats, o_r, d_r, 0.0, tm_r,
+                leaf_size=8, stack=int(sw.stack), tile_s=tile_s,
+                stats=True, smem_nodes=smem, **kw)
+            st_r = np.asarray(st_r)
+            print(f"{name:12s} prim iters/tile mean {st[:, 0].mean():7.1f}"
+                  f" max {st[:, 0].max()} leaf/tile {st[:, 1].mean():7.1f}"
+                  f" total iters {st[:, 0].sum()}", flush=True)
+            print(f"{name:12s} refl iters/tile mean "
+                  f"{st_r[:, 0].mean():7.1f} max {st_r[:, 0].max()} "
+                  f"leaf/tile {st_r[:, 1].mean():7.1f} total "
+                  f"{st_r[:, 0].sum()}", flush=True)
+            return
+
+        def launch(o, d, tmax):
+            t, *_ = trace_tiles_lab(
+                nodes, sw.tris, sw.inv_mats, o, d, 0.0, tmax,
+                leaf_size=8, stack=int(sw.stack), tile_s=tile_s,
+                smem_nodes=smem, **kw)
+            return t
+
+        try:
+            ms_p = time_chain(launch, o_p, d_p,
+                              jnp.full(o_p.shape[:1], T_MAX), frames)
+            ms_r = time_chain(launch, o_r, d_r, tm_r, frames)
+            print(f"{name:12s} primary {ms_p:7.2f} ms   "
+                  f"reflection {ms_r:7.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and move on
+            print(f"{name:12s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    variant("stats", stats=True)
+    variant("base")
+    variant("smem", smem_nodes=True)
+    variant("npop1", npop=1)
+    variant("npop4", npop=4)
+    variant("unordered", ordered=False)
+    variant("tile16", tile_s=16)
+    variant("tile32", tile_s=32)
+    variant("smem_tile16", smem_nodes=True, tile_s=16)
+    if not only or "alldead" in only:
+        dead = jnp.full(o_p.shape[:1], -1.0)
+
+        def launch0(o, d, tmax):
+            from raytracedggx_tpu.ops.fused_lab import trace_tiles_lab
+            t, *_ = trace_tiles_lab(sw.nodes, sw.tris, sw.inv_mats, o, d,
+                                    0.0, tmax, leaf_size=8,
+                                    stack=int(sw.stack))
+            return t
+
+        ms = time_chain(launch0, o_p, d_p, dead, frames)
+        print(f"{'alldead':12s} launch+prep floor {ms:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
