@@ -63,6 +63,9 @@ class RenderConfig:
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
+    dbg_miss_lod: float = 0.0       # env LOD for primary-miss radiance
+                                    # (reference semantics = 0; fidelity
+                                    # A/B knob, scripts/fidelity_ab.py)
     async_compute: bool = False     # 'A' toggle analog: TLAS refit as its
                                     # own dispatched program vs fused into
                                     # the frame program (identical output).
@@ -341,7 +344,8 @@ class Renderer:
                              dbg_no_refl_trace=cfg.dbg_no_refl_trace,
                              dbg_no_secondary_shade=(
                                  cfg.dbg_no_secondary_shade),
-                             dbg_env_mode=cfg.dbg_env_mode)
+                             dbg_env_mode=cfg.dbg_env_mode,
+                             dbg_miss_lod=cfg.dbg_miss_lod)
 
         accum, frame = self._post_process(out, state.history)
 

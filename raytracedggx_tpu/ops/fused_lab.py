@@ -36,7 +36,8 @@ TILE_L = 128
 def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
                 t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
                 stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
-                stats: bool, smem_nodes: bool, npop: int, ordered: bool):
+                stats: bool, smem_nodes: bool, npop: int, ordered: bool,
+                lean: bool = False):
     wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -108,18 +109,27 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= t_min) & (t <= bt))
-            on = 9 * L + 9 * j
-            w0 = 1.0 - u - v
-            nx = (w0 * colT[on + 0] + u * colT[on + 3] + v * colT[on + 6])
-            ny = (w0 * colT[on + 1] + u * colT[on + 4] + v * colT[on + 7])
-            nz = (w0 * colT[on + 2] + u * colT[on + 5] + v * colT[on + 8])
             bt = jnp.where(ok, t, bt)
             bu = jnp.where(ok, u, bu)
             bv = jnp.where(ok, v, bv)
-            bnx = jnp.where(ok, nx, bnx)
-            bny = jnp.where(ok, ny, bny)
-            bnz = jnp.where(ok, nz, bnz)
-            bpr = jnp.where(ok, colT[18 * L + j], bpr)
+            if lean:
+                # lean layout [geom 9L | prim L]: normals are NOT in the
+                # stream; the caller reconstructs the winner's normal with
+                # one XLA gather (round-2 microbench: 0.21 ms / 921k rows)
+                bpr = jnp.where(ok, colT[9 * L + j], bpr)
+            else:
+                on = 9 * L + 9 * j
+                w0 = 1.0 - u - v
+                nx = (w0 * colT[on + 0] + u * colT[on + 3]
+                      + v * colT[on + 6])
+                ny = (w0 * colT[on + 1] + u * colT[on + 4]
+                      + v * colT[on + 7])
+                nz = (w0 * colT[on + 2] + u * colT[on + 5]
+                      + v * colT[on + 8])
+                bnx = jnp.where(ok, nx, bnx)
+                bny = jnp.where(ok, ny, bny)
+                bnz = jnp.where(ok, nz, bnz)
+                bpr = jnp.where(ok, colT[18 * L + j], bpr)
             bin_ = jnp.where(ok, inst_f, bin_)
         return bt, bu, bv, bnx, bny, bnz, bpr, bin_
 
@@ -260,15 +270,276 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
     n_ref[0, 2] = bnz
     prim_ref[0] = bpr
     inst_ref[0] = bin_
-    stats_ref[0, 0] = it
-    stats_ref[0, 1] = lp
+    # (8,128)-aligned stats tile (Mosaic needs aligned output blocks):
+    # row 0 = pops, row 1 = leaf visits; host reads [:, :, 0]
+    stats_ref[0] = jnp.stack(
+        [jnp.full((TILE_L,), it, jnp.int32),
+         jnp.full((TILE_L,), lp, jnp.int32)] +
+        [jnp.zeros((TILE_L,), jnp.int32)] * 6)
+
+
+LEAF_BIT = 1 << 30       # stack entry: [30]=leaf [29:20]=tag [19:0]=addr
+
+
+def _ls_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
+               t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
+               stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
+               stats: bool, smem_nodes: bool, ordered: bool, lean: bool):
+    """Leaf-on-stack variant: every child (leaf or internal) is pushed as
+    a tagged stack entry; a pop scalar-branches ONCE between a node visit
+    (fetch + 4 box tests + packed reductions + ordered pushes) and a leaf
+    visit (fetch + L triangle tests, no reductions, no pushes).  This
+    removes the 4 sequential per-child lax.conds of the production kernel
+    from every node visit — the round-3 latency suspect."""
+    wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
+    wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    tmax0 = rays_ref[0, 6]
+
+    eps = jnp.float32(1e-20)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < eps,
+                               jnp.where(d >= 0, eps, -eps), d)
+
+    def fetch(ref, idx, rows):
+        tile = ref[idx >> 7]
+        lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
+
+    live = tmax0 >= 0.0
+    big = jnp.float32(3e38)
+
+    def mid(v):
+        return (jnp.min(jnp.where(live, v, big))
+                + jnp.max(jnp.where(live, v, -big))) * 0.5
+
+    wm_ox, wm_oy, wm_oz = mid(wox), mid(woy), mid(woz)
+    wm_dx, wm_dy, wm_dz = mid(wdx), mid(wdy), mid(wdz)
+
+    def ray_state(tag):
+        m = [inv_ref[tag, j] for j in range(12)]
+        ox = wox * m[0] + woy * m[3] + woz * m[6] + m[9]
+        oy = wox * m[1] + woy * m[4] + woz * m[7] + m[10]
+        oz = wox * m[2] + woy * m[5] + woz * m[8] + m[11]
+        dx = wdx * m[0] + wdy * m[3] + wdz * m[6]
+        dy = wdx * m[1] + wdy * m[4] + wdz * m[7]
+        dz = wdx * m[2] + wdy * m[5] + wdz * m[8]
+        s_ox = wm_ox * m[0] + wm_oy * m[3] + wm_oz * m[6] + m[9]
+        s_oy = wm_ox * m[1] + wm_oy * m[4] + wm_oz * m[7] + m[10]
+        s_oz = wm_ox * m[2] + wm_oy * m[5] + wm_oz * m[8] + m[11]
+        s_dx = wm_dx * m[0] + wm_dy * m[3] + wm_dz * m[6]
+        s_dy = wm_dx * m[1] + wm_dy * m[4] + wm_dz * m[7]
+        s_dz = wm_dx * m[2] + wm_dy * m[5] + wm_dz * m[8]
+
+        def s_inv(v):
+            return 1.0 / jnp.where(jnp.abs(v) < eps,
+                                   jnp.where(v >= 0, eps, -eps), v)
+
+        return ((ox, oy, oz, dx, dy, dz,
+                 safe_inv(dx), safe_inv(dy), safe_inv(dz)),
+                (s_ox, s_oy, s_oz, s_inv(s_dx), s_inv(s_dy), s_inv(s_dz)))
+
+    nothing = (jnp.float32(-1.0), jnp.int32(0), jnp.bool_(False))
+
+    def leaf_visit(lf, tag, rs, carry8):
+        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry8
+        inst_f = (tag - 1).astype(jnp.float32)
+        ox, oy, oz, dx, dy, dz = rs[:6]
+        colT = fetch(tris_ref, lf, RW)
+        for j in range(L):
+            o9 = 9 * j
+            v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
+            e1x, e1y, e1z = colT[o9 + 3], colT[o9 + 4], colT[o9 + 5]
+            e2x, e2y, e2z = colT[o9 + 6], colT[o9 + 7], colT[o9 + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min) & (t <= bt))
+            bt = jnp.where(ok, t, bt)
+            bu = jnp.where(ok, u, bu)
+            bv = jnp.where(ok, v, bv)
+            if lean:
+                bpr = jnp.where(ok, colT[9 * L + j], bpr)
+            else:
+                on = 9 * L + 9 * j
+                w0 = 1.0 - u - v
+                nx = (w0 * colT[on + 0] + u * colT[on + 3]
+                      + v * colT[on + 6])
+                ny = (w0 * colT[on + 1] + u * colT[on + 4]
+                      + v * colT[on + 7])
+                nz = (w0 * colT[on + 2] + u * colT[on + 5]
+                      + v * colT[on + 8])
+                bnx = jnp.where(ok, nx, bnx)
+                bny = jnp.where(ok, ny, bny)
+                bnz = jnp.where(ok, nz, bnz)
+                bpr = jnp.where(ok, colT[18 * L + j], bpr)
+            bin_ = jnp.where(ok, inst_f, bin_)
+        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+        return carry8, [nothing] * 4
+
+    def node_visit(idx, tag, rs, sm, carry8):
+        ox, oy, oz = rs[0], rs[1], rs[2]
+        ix, iy, iz = rs[6], rs[7], rs[8]
+        s_ox, s_oy, s_oz, s_ix, s_iy, s_iz = sm
+        bt = carry8[0]
+        if smem_nodes:
+            col = [nodes_ref[idx, r] for r in range(36)]
+        else:
+            colv = fetch(nodes_ref, idx, 36)
+            col = [colv[r] for r in range(36)]
+
+        hits = []
+        for k in range(4):
+            o = k * 6
+            t0x = (col[o + 0] - ox) * ix
+            t1x = (col[o + 3] - ox) * ix
+            t0y = (col[o + 1] - oy) * iy
+            t1y = (col[o + 4] - oy) * iy
+            t0z = (col[o + 2] - oz) * iz
+            t1z = (col[o + 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+
+        c01 = jnp.sum(hits[0].astype(jnp.int32)
+                      + (hits[1].astype(jnp.int32) << 16))
+        c23 = jnp.sum(hits[2].astype(jnp.int32)
+                      + (hits[3].astype(jnp.int32) << 16))
+        hk = (((c01 & 0xFFFF) > 0), ((c01 >> 16) > 0),
+              ((c23 & 0xFFFF) > 0), ((c23 >> 16) > 0))
+
+        items = []
+        for k in range(4):
+            kind = col[24 + k].astype(jnp.int32)
+            a = col[28 + k].astype(jnp.int32)
+            b = col[32 + k].astype(jnp.int32)
+            if ordered:
+                o = k * 6
+                kx0 = (col[o + 0] - s_ox) * s_ix
+                kx1 = (col[o + 3] - s_ox) * s_ix
+                ky0 = (col[o + 1] - s_oy) * s_iy
+                ky1 = (col[o + 4] - s_oy) * s_iy
+                kz0 = (col[o + 2] - s_oz) * s_iz
+                kz1 = (col[o + 5] - s_oz) * s_iz
+                key = jnp.maximum(jnp.maximum(jnp.minimum(kx0, kx1),
+                                              jnp.minimum(ky0, ky1)),
+                                  jnp.minimum(kz0, kz1))
+            else:
+                key = jnp.float32(0.0)
+            child_tag = jnp.where(kind == 3, b, tag)
+            entry = (a + (child_tag << 20)
+                     + jnp.where(kind == 1, LEAF_BIT, 0))
+            items.append((key, entry, hk[k] & (kind >= 1)))
+        return carry8, items
+
+    def process(e, valid, carry8, it, lp):
+        idx = e & 0xFFFFF
+        tag = (e >> 20) & 0x3FF
+        is_leaf = (e & LEAF_BIT) != 0
+        rs, sm = ray_state(tag)
+        carry8, items = lax.cond(
+            valid & is_leaf,
+            lambda c: leaf_visit(idx, tag, rs, c),
+            lambda c: lax.cond(valid,
+                               lambda c2: node_visit(idx, tag, rs, sm, c2),
+                               lambda c2: (c2, [nothing] * 4), c),
+            carry8)
+        if stats:
+            lp = lp + (valid & is_leaf).astype(jnp.int32)
+            it = it + (valid & ~is_leaf).astype(jnp.int32)
+        return carry8, items, it, lp
+
+    def sort4_desc(items):
+        if not ordered:
+            return items
+
+        def cswap(p, q):
+            swap = p[0] < q[0]
+
+            def sel(x, y):
+                return jnp.where(swap, y, x), jnp.where(swap, x, y)
+
+            k1, k2 = sel(p[0], q[0])
+            a1, a2 = sel(p[1], q[1])
+            f1, f2 = sel(p[2], q[2])
+            return (k1, a1, f1), (k2, a2, f2)
+
+        items[0], items[1] = cswap(items[0], items[1])
+        items[2], items[3] = cswap(items[2], items[3])
+        items[0], items[2] = cswap(items[0], items[2])
+        items[1], items[3] = cswap(items[1], items[3])
+        items[1], items[2] = cswap(items[1], items[2])
+        return items
+
+    def body(carry):
+        sp, it, lp, bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        has2 = sp >= 2
+        e1_ = stack_ref[sp - 1]
+        e2_ = stack_ref[jnp.maximum(sp - 2, 0)]
+        sp = jnp.where(has2, sp - 2, sp - 1)
+
+        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+        carry8, items1, it, lp = process(e1_, jnp.bool_(True), carry8,
+                                         it, lp)
+        carry8, items2, it, lp = process(e2_, has2, carry8, it, lp)
+
+        sp_ref = sp
+        cap = stack_ref.shape[0] - 1
+        for key, a, push in sort4_desc(items2) + sort4_desc(items1):
+            @pl.when(push)
+            def _():
+                stack_ref[jnp.minimum(sp_ref, cap)] = a
+
+            sp_ref = jnp.where(push, jnp.minimum(sp_ref + 1, cap), sp_ref)
+
+        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry8
+        return (sp_ref, it, lp, bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+
+    def cond(carry):
+        return carry[0] > 0
+
+    stack_ref[0] = 0
+    zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+    init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), tmax0,
+            zeros, zeros, zeros, zeros, zeros,
+            jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zeros)
+    (_, it, lp, bt, bu, bv, bnx, bny, bnz, bpr, bin_) = lax.while_loop(
+        cond, body, init)
+
+    t_ref[0] = bt
+    u_ref[0] = bu
+    v_ref[0] = bv
+    n_ref[0, 0] = bnx
+    n_ref[0, 1] = bny
+    n_ref[0, 2] = bnz
+    prim_ref[0] = bpr
+    inst_ref[0] = bin_
+    stats_ref[0] = jnp.stack(
+        [jnp.full((TILE_L,), it, jnp.int32),
+         jnp.full((TILE_L,), lp, jnp.int32)] +
+        [jnp.zeros((TILE_L,), jnp.int32)] * 6)
 
 
 def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                     t_max, leaf_size: int, interpret: bool = False,
                     stack: int = 128, tile_s: int = 8,
                     stats: bool = False, smem_nodes: bool = False,
-                    npop: int = 2, ordered: bool = True):
+                    npop: int = 2, ordered: bool = True,
+                    lean: bool = False, leaf_stack: bool = False):
     """Lab launcher mirroring ops/fused.trace_tiles_instanced, plus a
     (G, 2) int32 stats output (while-loop iterations, leaf visits per
     tile).  `nodes` must be the flat (Npad, 36) host-order array when
@@ -295,11 +566,18 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
                                      lambda g: (g, 0, 0),
                                      memory_space=pltpu.VMEM)
+    if leaf_stack:
+        kern = functools.partial(_ls_kernel, t_min=float(t_min), L=L,
+                                 RW=RW, TILE_S=tile_s, stats=stats,
+                                 smem_nodes=smem_nodes, ordered=ordered,
+                                 lean=lean)
+    else:
+        kern = functools.partial(_lab_kernel, t_min=float(t_min), L=L,
+                                 RW=RW, TILE_S=tile_s, stats=stats,
+                                 smem_nodes=smem_nodes, npop=npop,
+                                 ordered=ordered, lean=lean)
     t, u, v, nrm, prim_f, inst_f, st = pl.pallas_call(
-        functools.partial(_lab_kernel, t_min=float(t_min), L=L,
-                          RW=RW, TILE_S=tile_s, stats=stats,
-                          smem_nodes=smem_nodes, npop=npop,
-                          ordered=ordered),
+        kern,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=node_space),
@@ -313,8 +591,8 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                                 lambda g: (g, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    tile_spec(), tile_spec(),
-                   pl.BlockSpec((1, 2), lambda g: (g, 0),
-                                memory_space=pltpu.SMEM)],
+                   pl.BlockSpec((1, 8, TILE_L), lambda g: (g, 0, 0),
+                                memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
             jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
@@ -322,7 +600,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
             jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32),
             jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
             jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, 2), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, TILE_L), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
@@ -344,3 +622,11 @@ def nodes_flat_for_smem(sw):
     SceneWideBVH's column layout (inverse of the reshape in
     ops/scene_wide.refit_scene_wide)."""
     return sw.nodes.transpose(0, 2, 1).reshape(-1, 36)
+
+
+def lean_tris(sw):
+    """Strip the 9L normal rows from scene_wide leaf columns:
+    (Lt, 19L, 128) -> (Lt, 10L, 128) [geom 9L | prim L]."""
+    L = int(sw.leaf_size)
+    return jnp.concatenate(
+        [sw.tris[:, :9 * L], sw.tris[:, 18 * L:19 * L]], axis=1)

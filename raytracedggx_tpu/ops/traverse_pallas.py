@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -281,11 +282,20 @@ def block_order(width: int, height: int, block_w: int = 32,
     return order, inv
 
 
-def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None):
+def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None,
+                     block: int | None = None):
     """Sort key for incoherent secondary waves: dead rays last (so they
     compact into tiles that terminate after the root test), then direction
     octant (3 bits), then Morton of the origin — groups live rays into
-    coherent kernel tiles.  Returns (order, inverse_order)."""
+    coherent kernel tiles.  Returns (order, inverse_order).
+
+    block: sort within fixed-size ray blocks instead of globally.  The
+    global bitonic argsort is O(log^2 N) passes over the whole wave
+    (~529 key passes at 4K) and was the round-2 super-linear-scaling
+    suspect; rays arrive in screen-block order, so a per-block sort
+    (vmapped bitonic over `block` rays, log^2(block) passes) keeps
+    nearly all the tile coherence — secondary rays from one screen
+    region already share origins — at a fraction of the sort cost."""
     from ..bvh.morton import morton3d
 
     octant = ((ray_d[:, 0] >= 0).astype(jnp.uint32)
@@ -296,7 +306,21 @@ def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None):
     key = (octant << jnp.uint32(28)) | (code >> jnp.uint32(2))
     if active is not None:
         key = jnp.where(active, key, key | jnp.uint32(1 << 31))
-    order = jnp.argsort(key)
+    R = key.shape[0]
+    if block is not None and R > block:
+        pad = (-R) % block
+        kp = jnp.pad(key, (0, pad),
+                     constant_values=np.uint32(0xFFFFFFFF))
+        local = jnp.argsort(kp.reshape(-1, block), axis=1)
+        base = (jnp.arange(kp.shape[0] // block, dtype=local.dtype)
+                [:, None] * block)
+        order = (local + base).reshape(-1)
+        if pad:
+            # pad keys are the max value and argsort is stable, so the pad
+            # indices land exactly in the final `pad` slots — a static slice
+            order = order[:R]
+    else:
+        order = jnp.argsort(key)
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
     return order, inv

@@ -36,6 +36,10 @@ class Scene:
     # additional animated model instances (multi-instance TLAS — BASELINE
     # config 5); each entry is a (x, y, z, scale) like pos_scale
     extra_instances: tuple = ()
+    # ground plate XZ half-extent; the reference uses 8.0
+    # (RayTracer.cpp:192 XMMatrixScaling(8, 0.5, 8)) — kept as a field so
+    # fidelity A/Bs can sweep it against the published render
+    ground_scale: float = 10.0
 
     @staticmethod
     def create(model_path: str, pos_scale=(0.0, 0.0, 0.0, 1.0),
@@ -69,7 +73,8 @@ class Scene:
 
     def worlds(self, angle):
         """(I, 4, 4) world matrices for animation angle (traceable)."""
-        ground = m3.scaling(10.0, 0.5, 10.0) @ m3.translation(0.0, -0.5, 0.0)
+        g = float(self.ground_scale)
+        ground = m3.scaling(g, 0.5, g) @ m3.translation(0.0, -0.5, 0.0)
         ws = [ground, self._model_world(angle, self.pos_scale)]
         ws += [self._model_world(angle, ps) for ps in self.extra_instances]
         return jnp.stack(ws)

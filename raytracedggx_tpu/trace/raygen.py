@@ -154,19 +154,21 @@ def _trace_ordered_fused(trace_fused, o, d, t_min, t_max, ray_order):
 
 
 def _trace_shade_ordered_fused(trace_fused, shade_fn, env, o, d, t_min,
-                               t_max, ray_order):
+                               t_max, ray_order, miss_lod=0.0):
     """Trace AND shade in the sorted ray domain, un-permuting only the
     final radiance.  Shading in sorted order is the whole point: the env
     probe taps of neighboring rays hit neighboring texels (the morton/
     octant sort clusters directions), which measured ~2x cheaper than
     shading after the inverse permute (docs/PERF.md round 2).  Returns
-    (radiance (R, 3), secondary_hit (R,)) in original ray order."""
+    (radiance (R, 3), secondary_hit (R,)) in original ray order.
+    miss_lod: env LOD for miss radiance (reference: 0, missMain
+    RayTracing.hlsl:619-625; nonzero is a fidelity-A/B knob only)."""
     import jax
 
     if ray_order is None:
         rec, nrm = trace_fused(o, d, t_min, t_max)
         shaded = shade_fn(rec, nrm, o, d)
-        env_rad = sample_env(env, d, 0.0)
+        env_rad = sample_env(env, d, miss_lod)
         rad = jnp.where(rec.hit[..., None], shaded, env_rad)
         return rad, rec.hit
     order, inv = ray_order
@@ -176,7 +178,7 @@ def _trace_shade_ordered_fused(trace_fused, shade_fn, env, o, d, t_min,
     o_s, d_s = bundle[:, 0:3], bundle[:, 3:6]
     rec, nrm = trace_fused(o_s, d_s, t_min, bundle[:, 6])
     shaded = shade_fn(rec, nrm, o_s, d_s)
-    env_rad = sample_env(env, d_s, 0.0)      # miss radiance, still sorted
+    env_rad = sample_env(env, d_s, miss_lod)  # miss radiance, still sorted
     rad = jnp.where(rec.hit[..., None], shaded, env_rad)
     out = jax.lax.optimization_barrier(jnp.concatenate(
         [rad, rec.hit[..., None].astype(jnp.float32)], axis=-1)[inv])
@@ -431,7 +433,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    row0=0, band_height=None, trace_fn=None, ray_order=None,
                    sort_secondary=False, trace_fused=None,
                    dbg_no_refl_trace=False, dbg_no_secondary_shade=False,
-                   dbg_env_mode="full"):
+                   dbg_env_mode="full", dbg_miss_lod=0.0):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
     refl, diff (radiance), normal (xyz*0.5+0.5 + hit alpha), rough_metal,
     velocity, depth, vis.  row0/band_height restrict to a row band (the
@@ -500,7 +502,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
 
         radiance_r, hit_r = _trace_shade_ordered_fused(
             trace_fused, shade_r, env, p, trace_dir, T_MIN_SECONDARY,
-            tmax_r, secondary_order(trace_dir, tmax_r))
+            tmax_r, secondary_order(trace_dir, tmax_r),
+            miss_lod=dbg_miss_lod)
         radiance_r = jnp.where(seed_dead & hit_r[..., None], seed,
                                radiance_r)
     else:
@@ -511,7 +514,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                                     sh_coeffs, rec_r, trace_dir,
                                     damp_diffuse_albedo=False)
         shaded_r = jnp.where(seed_dead, seed, shaded_r)
-        env_r = sample_env(env, trace_dir, 0.0)
+        env_r = sample_env(env, trace_dir, dbg_miss_lod)
         radiance_r = jnp.where(rec_r.hit[..., None] & hit[..., None],
                                shaded_r, env_r)
 

@@ -115,31 +115,51 @@ def main():
     from raytracedggx_tpu.ops.fused_lab import (trace_tiles_lab,
                                                 nodes_flat_for_smem)
 
+    from raytracedggx_tpu.ops.fused_lab import lean_tris
+    from raytracedggx_tpu.ops.scene_wide import build_scene_wide
+
     scene, geom, sw, o_p, d_p = build()
     o_r, d_r, tm_r = reflection_rays(sw, o_p, d_p)
     live = int(np.asarray(tm_r > 0).sum())
     print(f"rays: primary {o_p.shape[0]}, reflection live {live}",
           flush=True)
     nodes_flat = nodes_flat_for_smem(sw)
+    sw16 = None
 
     def variant(name, **kw):
+        nonlocal sw16
         if only and name not in only:
             return
+        s = sw
+        L = 8
+        if kw.pop("l16", False):
+            if sw16 is None:
+                sw16 = build_scene_wide(geom, scene.mesh_ids,
+                                        leaf_size=16)
+            s = sw16
+            L = 16
         smem = kw.pop("smem_nodes", False)
-        nodes = nodes_flat if smem else sw.nodes
+        nodes = nodes_flat_for_smem(s) if smem else s.nodes
+        tris = lean_tris(s) if kw.get("lean") else s.tris
         tile_s = kw.pop("tile_s", 8)
+        stk = int(s.stack) * (3 if kw.get("leaf_stack") else 1)
 
         if kw.pop("stats", False):
-            _, _, _, _, _, _, st = trace_tiles_lab(
-                nodes, sw.tris, sw.inv_mats, o_p, d_p, 0.0, T_MAX,
-                leaf_size=8, stack=int(sw.stack), tile_s=tile_s,
-                stats=True, smem_nodes=smem, **kw)
-            st = np.asarray(st)
-            _, _, _, _, _, _, st_r = trace_tiles_lab(
-                nodes, sw.tris, sw.inv_mats, o_r, d_r, 0.0, tm_r,
-                leaf_size=8, stack=int(sw.stack), tile_s=tile_s,
-                stats=True, smem_nodes=smem, **kw)
-            st_r = np.asarray(st_r)
+            try:
+                out = trace_tiles_lab(
+                    nodes, tris, s.inv_mats, o_p, d_p, 0.0, T_MAX,
+                    leaf_size=L, stack=stk, tile_s=tile_s,
+                    stats=True, smem_nodes=smem, **kw)
+                st = np.asarray(out[6])[:, :2, 0]
+                out_r = trace_tiles_lab(
+                    nodes, tris, s.inv_mats, o_r, d_r, 0.0, tm_r,
+                    leaf_size=L, stack=stk, tile_s=tile_s,
+                    stats=True, smem_nodes=smem, **kw)
+                st_r = np.asarray(out_r[6])[:, :2, 0]
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:12s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+                return
             print(f"{name:12s} prim iters/tile mean {st[:, 0].mean():7.1f}"
                   f" max {st[:, 0].max()} leaf/tile {st[:, 1].mean():7.1f}"
                   f" total iters {st[:, 0].sum()}", flush=True)
@@ -151,8 +171,8 @@ def main():
 
         def launch(o, d, tmax):
             t, *_ = trace_tiles_lab(
-                nodes, sw.tris, sw.inv_mats, o, d, 0.0, tmax,
-                leaf_size=8, stack=int(sw.stack), tile_s=tile_s,
+                nodes, tris, s.inv_mats, o, d, 0.0, tmax,
+                leaf_size=L, stack=stk, tile_s=tile_s,
                 smem_nodes=smem, **kw)
             return t
 
@@ -175,6 +195,17 @@ def main():
     variant("tile16", tile_s=16)
     variant("tile32", tile_s=32)
     variant("smem_tile16", smem_nodes=True, tile_s=16)
+    variant("lean", lean=True)
+    variant("l16", l16=True)
+    variant("lean_l16", lean=True, l16=True)
+    variant("smem_l16", smem_nodes=True, l16=True)
+    variant("lean_smem_l16", lean=True, smem_nodes=True, l16=True)
+    variant("stats_l16", stats=True, l16=True)
+    variant("ls", leaf_stack=True)
+    variant("ls_lean", leaf_stack=True, lean=True)
+    variant("ls_lean_l16", leaf_stack=True, lean=True, l16=True)
+    variant("ls_lean_smem16", leaf_stack=True, lean=True, l16=True,
+            smem_nodes=True)
     if not only or "alldead" in only:
         dead = jnp.full(o_p.shape[:1], -1.0)
 
