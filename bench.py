@@ -94,7 +94,7 @@ def _run_config(cfg_id: int):
         else:
             envs.append(None)
 
-    variants = [("xla",)]
+    variants = [("auto",)]
     if c.get("both_kernel_variants"):
         variants = [("xla",), ("pallas",)]
 

@@ -64,27 +64,37 @@ def _itm(c):
 
 def _bilinear_clamp_pix(img, x, y):
     """Bilinear sample (H, W, C) at continuous pixel coords (clamp).
-    (x, y) = (u*W - 0.5, v*H - 0.5) of the equivalent uv sampler."""
+    (x, y) = (u*W - 0.5, v*H - 0.5) of the equivalent uv sampler.
+
+    One 4C-wide gather instead of 4 C-wide gathers: TPU gathers cost
+    ~6 ns/row regardless of row width (scripts/envbench.py), so the 2x2
+    footprint is packed per pixel with two elementwise clamp-shifts
+    (cheap HBM streaming) and fetched in a single gather.  Clamping the
+    continuous coordinate to [0, dim-1] reproduces per-tap clamping: the
+    out-of-range tap's weight is 0 there and the footprint's edge copies
+    match the old duplicated-tap sum."""
     h, w = img.shape[0], img.shape[1]
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    flat = img.reshape(h * w, img.shape[-1])
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    row0 = jnp.concatenate([img, right], axis=-1)          # [c00 | c10]
+    quad = jnp.concatenate(
+        [row0, jnp.concatenate([row0[1:], row0[-1:]], axis=0)],
+        axis=-1)                                           # + [c01 | c11]
+    c = img.shape[-1]
+    q = quad.reshape(h * w, 4 * c)[
+        (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)).reshape(-1)
+    ].reshape(*x.shape, 4 * c)
 
-    def tex(xi, yi):
-        # flat 1-D gather: 2-D advanced indexing (img[yi, xi]) lowers to a
-        # multi-index-dim XLA gather that costs ~30 ms/frame @720p on TPU;
-        # the flattened form takes the fast single-index path
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        return flat[yi * w + xi]
-
-    return (tex(x0, y0) * (1 - fx) * (1 - fy)
-            + tex(x0 + 1, y0) * fx * (1 - fy)
-            + tex(x0, y0 + 1) * (1 - fx) * fy
-            + tex(x0 + 1, y0 + 1) * fx * fy)
+    return (q[..., 0:c] * (1 - fx) * (1 - fy)
+            + q[..., c:2 * c] * fx * (1 - fy)
+            + q[..., 2 * c:3 * c] * (1 - fx) * fy
+            + q[..., 3 * c:] * fx * fy)
 
 
 def _velocity_max(velocity):

@@ -57,7 +57,8 @@ def parse_args(argv=None):
                         "the frame program (the 'A' hotkey toggle)")
     p.add_argument("--bary", choices=["direct", "ndc"], default="direct")
     p.add_argument("--emulate-formats", action="store_true")
-    p.add_argument("--kernels", choices=["xla", "pallas"], default="xla",
+    p.add_argument("--kernels", choices=["auto", "xla", "pallas"],
+                   default="auto",
                    help="filter implementation (the V-toggle analog)")
     p.add_argument("--traversal",
                    choices=["auto", "wide", "pallas", "pallas4", "jax"],

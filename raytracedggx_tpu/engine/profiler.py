@@ -81,8 +81,10 @@ def time_stages(renderer, state, dt: float = 1 / 60) -> dict:
     f_sp = jax.jit(lambda: diffuse_spatial_filter(
         diff, reflection_spatial_filter(refl, normal, rough, out["depth"],
                                         cfg.width, cfg.height,
-                                        impl=cfg.kernels),
-        normal, metal, out["depth"], impl=cfg.kernels))
+                                        impl=r.kernels,
+                                        interpret=r.kernels_interpret),
+        normal, metal, out["depth"], impl=r.kernels,
+        interpret=r.kernels_interpret))
     flt, times["spatial_ms"] = bench("spatial", f_sp)
 
     f_taa = jax.jit(lambda: tone_map(

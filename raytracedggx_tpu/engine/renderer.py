@@ -55,10 +55,17 @@ class RenderConfig:
     spatial: bool = True            # spatial filters on/off
     temporal: bool = True           # TAA accumulate on/off
     emulate_formats: bool = False   # round-trip reference storage precision
-    kernels: str = "xla"            # "xla" | "pallas" (the 'V' toggle analog)
+    kernels: str = "auto"           # "auto" | "xla" | "pallas" spatial-
+                                    # filter impl (the 'V' toggle analog);
+                                    # auto = pallas on TPU (measured ~20 ms
+                                    # faster @720p, round-3 ablation), xla
+                                    # elsewhere (interpret mode is slow)
     traversal: str = "auto"         # "auto" | "wide" | "pallas4" |
                                     # "pallas" | "jax"
     leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
+    wide_leaf_size: int = 16        # scene-wide kernel leaf size (L16 +
+                                    # lean stream: measured TPU winner,
+                                    # scripts/kbench.py round 3)
     sort_secondary: bool = True     # morton+octant sort for bounce waves
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
@@ -116,11 +123,11 @@ class Renderer:
             # VMEM-resident (~16 MB/core); fall back to the per-mesh
             # object-space kernel when the UNIQUE meshes exceed budget.
             est = 0
-            L = self.config.leaf_size
+            L = self.config.wide_leaf_size
             for m in set(scene.mesh_ids):
                 tris = self.geom.meshes[m].tri.shape[0]
                 leaves = -(-int(tris) * 8 // (6 * L))  # ~6/8 leaf fill
-                est += leaves * (19 * L) * 4           # leaf-column bytes
+                est += leaves * (9 * L) * 4            # lean leaf columns
                 est += -(-leaves // 3) * 36 * 4        # supernode columns
             if est > 12 * 2 ** 20:
                 if self.config.traversal == "wide":
@@ -137,8 +144,9 @@ class Renderer:
                 mode = self.traversal = "pallas4"
         if mode == "wide":
             from ..ops.scene_wide import build_scene_wide
-            self.swide = build_scene_wide(self.geom, scene.mesh_ids,
-                                          leaf_size=self.config.leaf_size)
+            self.swide = build_scene_wide(
+                self.geom, scene.mesh_ids,
+                leaf_size=self.config.wide_leaf_size)
             self.trace_fn = None       # bound per frame after the refit
         elif mode == "pallas4":
             from ..ops.wide import flatten_bvh4, trace_scene_pallas4
@@ -154,7 +162,11 @@ class Renderer:
         else:
             self.trace_fn = default_tracer(self.geom)
         # pallas FILTER kernels likewise interpret off-TPU
-        self.kernels_interpret = (self.config.kernels == "pallas"
+        self.kernels = self.config.kernels
+        if self.kernels == "auto":
+            self.kernels = ("pallas" if jax.default_backend() == "tpu"
+                            else "xla")
+        self.kernels_interpret = (self.kernels == "pallas"
                                   and jax.default_backend() != "tpu")
 
         # screen-block ray ordering keeps kernel tile frusta compact
@@ -291,9 +303,9 @@ class Renderer:
         if cfg.spatial:
             flt_rfl = reflection_spatial_filter(
                 refl, normal, rough, depth, cfg.width, cfg.height,
-                impl=cfg.kernels, interpret=self.kernels_interpret)
+                impl=self.kernels, interpret=self.kernels_interpret)
             flt_dff = diffuse_spatial_filter(
-                diff, flt_rfl, normal, metal, depth, impl=cfg.kernels,
+                diff, flt_rfl, normal, metal, depth, impl=self.kernels,
                 interpret=self.kernels_interpret)
         else:
             # temporal-only config (BASELINE config 1): composite directly

@@ -36,12 +36,24 @@ boxes; the rest are shared per-mesh OBJECT-space subtrees:
   rows 32..35 kind=3: instance tag (1-based; tag 0 = world/identity);
               kind=1: triangle count (metadata; kernel ignores)
 tris: (Lt, RW, 128) f32 STATIC object-space leaf columns, leaf j at
-tile j>>7 lane j&127 (RW = 19L):
-  rows 0    .. 9L-1    tri k: v0.xyz e1.xyz e2.xyz at 9k (OBJECT space)
-  rows 9L   .. 18L-1   tri k: n0.xyz n1.xyz n2.xyz at 9L+9k (OBJECT-
-                       space vertex normals; shading applies the
-                       instance normal matrix)
-  rows 18L  .. 19L-1   tri k: prim id as f32 (exact < 2^24)
+tile j>>7 lane j&127.
+
+Round-3 production layout is LEAN (RW = 9L):
+  rows 0 .. 9L-1   tri k: v0.xyz e1.xyz e2.xyz at 9k (OBJECT space)
+The winner's attributes are NOT in the stream: the kernel returns the
+STREAM slot index (leaf*L + k, computed in-kernel) and the caller
+resolves vertex normals + the mesh-local prim id with ONE XLA gather
+from a static (S, 10) side table (scene_wide.trace_scene_wide_fused).
+Measured on TPU (scripts/kbench.py, bunny@720p): lean+L16 cut the
+reflection wave 31.2 -> 18.8 ms and the primary wave 11.6 -> 8.6 ms vs
+the round-2 19L layout — leaf visits are VMEM-bandwidth-bound, and the
+9L stream halves the bytes per visit while one 921k-row gather costs
+~0.2 ms.
+
+lean=False keeps the round-2 fat layout (RW = 19L: + object-space
+vertex normals at 9L+9k and prim ids at 18L+k, interpolated at hit
+time in-kernel) for A/B and for callers without a side table.
+
 The hit's instance id is derived from the stack tag (tag - 1), not
 stored per leaf.  Padding triangles carry v0 = NaN so every
 intersection test fails (u/v/t become NaN, all comparisons false).
@@ -154,8 +166,7 @@ def build_records4_padded(bvh, leaf_size: int = 8):
 
 
 def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
-                      t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
-                      stack_ref, *, t_min, L, RW, TILE_S):
+                      *refs, t_min, L, RW, TILE_S, lean):
     """Instanced variant: shared OBJECT-space mesh subtrees entered via
     tagged instance nodes (the reference TopLevelAS semantics,
     XUSGRayTracing.h:195-237, done the TPU way).
@@ -172,6 +183,11 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
     Leaf columns (tris_ref): [geom 9L | object normals 9L | prim L].
     inv_ref: (tags, 12) SMEM — rows of the inverse world (3x3 row-major
     + translation), row 0 identity."""
+    if lean:
+        t_ref, u_ref, v_ref, prim_ref, inst_ref, stack_ref = refs
+        n_ref = None
+    else:
+        t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref, stack_ref = refs
     wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -225,9 +241,15 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
                 (s_ox, s_oy, s_oz, s_inv(s_dx), s_inv(s_dy), s_inv(s_dz)))
 
     def leaf_fn(lf, inst_f, rs, carry):
-        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        if lean:
+            bt, bu, bv, bpr, bin_ = carry
+        else:
+            bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
         ox, oy, oz, dx, dy, dz = rs[:6]
         colT = fetch(tris_ref, lf, RW)
+        if lean:
+            # stream slot of tri 0 in this leaf (float; exact < 2^24)
+            base = (lf * L).astype(jnp.float32)
         for j in range(L):
             o9 = 9 * j
             v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
@@ -247,19 +269,27 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= t_min) & (t <= bt))
-            on = 9 * L + 9 * j
-            w0 = 1.0 - u - v
-            nx = (w0 * colT[on + 0] + u * colT[on + 3] + v * colT[on + 6])
-            ny = (w0 * colT[on + 1] + u * colT[on + 4] + v * colT[on + 7])
-            nz = (w0 * colT[on + 2] + u * colT[on + 5] + v * colT[on + 8])
             bt = jnp.where(ok, t, bt)
             bu = jnp.where(ok, u, bu)
             bv = jnp.where(ok, v, bv)
-            bnx = jnp.where(ok, nx, bnx)
-            bny = jnp.where(ok, ny, bny)
-            bnz = jnp.where(ok, nz, bnz)
-            bpr = jnp.where(ok, colT[18 * L + j], bpr)
+            if lean:
+                bpr = jnp.where(ok, base + j, bpr)
+            else:
+                on = 9 * L + 9 * j
+                w0 = 1.0 - u - v
+                nx = (w0 * colT[on + 0] + u * colT[on + 3]
+                      + v * colT[on + 6])
+                ny = (w0 * colT[on + 1] + u * colT[on + 4]
+                      + v * colT[on + 7])
+                nz = (w0 * colT[on + 2] + u * colT[on + 5]
+                      + v * colT[on + 8])
+                bnx = jnp.where(ok, nx, bnx)
+                bny = jnp.where(ok, ny, bny)
+                bnz = jnp.where(ok, nz, bnz)
+                bpr = jnp.where(ok, colT[18 * L + j], bpr)
             bin_ = jnp.where(ok, inst_f, bin_)
+        if lean:
+            return bt, bu, bv, bpr, bin_
         return bt, bu, bv, bnx, bny, bnz, bpr, bin_
 
     def process_node(entry, valid, carry8):
@@ -345,13 +375,13 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
         return items
 
     def body(carry):
-        sp, bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
+        sp = carry[0]
+        carry8 = carry[1:]
         has2 = sp >= 2
         e1_ = stack_ref[sp - 1]
         e2_ = stack_ref[jnp.maximum(sp - 2, 0)]
         sp = jnp.where(has2, sp - 2, sp - 1)
 
-        carry8 = (bt, bu, bv, bnx, bny, bnz, bpr, bin_)
         carry8, items1 = process_node(e1_, jnp.bool_(True), carry8)
         carry8, items2 = process_node(e2_, has2, carry8)
         sp_ref = sp
@@ -367,36 +397,46 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
             sp_ref = jnp.where(push, jnp.minimum(sp_ref + 1, cap),
                                sp_ref)
 
-        bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry8
-        return sp_ref, bt, bu, bv, bnx, bny, bnz, bpr, bin_
+        return (sp_ref,) + tuple(carry8)
 
     def cond(carry):
         return carry[0] > 0
 
     stack_ref[0] = 0
     zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
-    init = (jnp.int32(1), tmax0, zeros, zeros, zeros, zeros, zeros,
-            jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zeros)
-    (_, bt, bu, bv, bnx, bny, bnz, bpr, bin_) = lax.while_loop(
-        cond, body, init)
+    miss = jnp.full((TILE_S, TILE_L), -1.0, jnp.float32)
+    if lean:
+        init = (jnp.int32(1), tmax0, zeros, zeros, miss, zeros)
+        (_, bt, bu, bv, bpr, bin_) = lax.while_loop(cond, body, init)
+    else:
+        init = (jnp.int32(1), tmax0, zeros, zeros, zeros, zeros, zeros,
+                miss, zeros)
+        (_, bt, bu, bv, bnx, bny, bnz, bpr, bin_) = lax.while_loop(
+            cond, body, init)
+        n_ref[0, 0] = bnx
+        n_ref[0, 1] = bny
+        n_ref[0, 2] = bnz
 
     t_ref[0] = bt
     u_ref[0] = bu
     v_ref[0] = bv
-    n_ref[0, 0] = bnx
-    n_ref[0, 1] = bny
-    n_ref[0, 2] = bnz
     prim_ref[0] = bpr
     inst_ref[0] = bin_
 
 
 def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                           t_max, leaf_size: int, interpret: bool = False,
-                          stack: int = 128, tile_s: int = 8):
+                          stack: int = 128, tile_s: int = 8,
+                          lean: bool = True):
     """Launch the instanced kernel over (R, 3) WORLD-space rays.
     inv_mats: (tags, 12) f32, row 0 identity, row i+1 = instance i's
-    inverse world (3x3 row-major + translation).  Returns flat
-    (t, u, v, normal(R,3) OBJECT-space, prim, inst)."""
+    inverse world (3x3 row-major + translation).
+
+    lean=True (production): returns flat (t, u, v, sidx, inst) with sidx
+    the winner's LEAF-STREAM slot (leaf*L + k; -1 on miss) — resolve
+    normals/prim via scene_wide's static attribute table.
+    lean=False (round-2 fat layout): returns
+    (t, u, v, normal(R, 3) OBJECT-space, prim, inst)."""
     L = leaf_size
     RW = tris.shape[1]
     R = ray_o.shape[0]
@@ -417,9 +457,21 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
                                      lambda g: (g, 0, 0),
                                      memory_space=pltpu.VMEM)
-    t, u, v, nrm, prim_f, inst_f = pl.pallas_call(
+    scalar_shape = jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32)
+    out_specs = [tile_spec(), tile_spec(), tile_spec()]
+    out_shape = [scalar_shape, scalar_shape, scalar_shape]
+    if not lean:
+        out_specs.append(pl.BlockSpec((1, 3, tile_s, TILE_L),
+                                      lambda g: (g, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32))
+    out_specs += [tile_spec(), tile_spec()]
+    out_shape += [scalar_shape, scalar_shape]
+
+    outs = pl.pallas_call(
         functools.partial(_instanced_kernel, t_min=float(t_min), L=L,
-                          RW=RW, TILE_S=tile_s),
+                          RW=RW, TILE_S=tile_s, lean=lean),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -428,19 +480,8 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                          lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[tile_spec(), tile_spec(), tile_spec(),
-                   pl.BlockSpec((1, 3, tile_s, TILE_L),
-                                lambda g: (g, 0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   tile_spec(), tile_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, 3, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
     )(nodes, tris, rays, inv_mats)
@@ -448,6 +489,15 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     def fl(x):
         return x.reshape(G * TILE)[:R]
 
+    if lean:
+        t, u, v, prim_f, inst_f = outs
+        prim_f = fl(prim_f)
+        hit = prim_f >= 0.0
+        sidx = jnp.where(hit, prim_f.astype(jnp.int32), -1)
+        inst = jnp.where(hit, fl(inst_f).astype(jnp.int32), -1)
+        return fl(t), fl(u), fl(v), sidx, inst
+
+    t, u, v, nrm, prim_f, inst_f = outs
     nrm = nrm.transpose(0, 2, 3, 1).reshape(G * TILE, 3)[:R]
     prim_f = fl(prim_f)
     hit = prim_f >= 0.0

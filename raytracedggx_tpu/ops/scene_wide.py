@@ -37,8 +37,12 @@ MAX_NODES = 1 << TAG_SHIFT
 class SceneWideBVH(NamedTuple):
     # device arrays
     nodes: jnp.ndarray        # (Nt, 36, 128) f32 (refit fills top boxes)
-    tris: jnp.ndarray         # (Lt, 19L, 128) f32 STATIC object leaves
+    tris: jnp.ndarray         # (Lt, 9L, 128) f32 STATIC object leaves
+    #                           (19L rows when built with lean=False)
     inv_mats: jnp.ndarray     # (1 + I, 12) f32 inverse worlds (refit)
+    attrs: jnp.ndarray        # (S, 10) f32 per-stream-slot side table:
+    #                           n0.xyz n1.xyz n2.xyz prim  (lean path;
+    #                           None when lean=False)
     # static build products
     static_cols: jnp.ndarray  # (Npad, 12) f32: kind[4], a[4], b[4]
     mesh_boxes: jnp.ndarray   # (N - n_top, 24) f32 object-space boxes
@@ -85,12 +89,19 @@ def _instance_tree(num_inst: int):
     return records
 
 
-def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
-                     worlds=None) -> SceneWideBVH:
+def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
+                     worlds=None, lean: bool = True) -> SceneWideBVH:
     """geom: SceneGeometry (per-mesh LBVH built); mesh_ids: instance ->
     mesh index.  All topology + object-space geometry is host-built once;
     refit_scene_wide(sw, worlds) fills instance world boxes + inverse
-    matrices each frame."""
+    matrices each frame.
+
+    lean=True (production): 9L-row leaf columns (geometry only) plus a
+    static (S, 10) attrs side table (vertex normals + prim per stream
+    slot) resolved post-kernel with one gather; lean=False keeps the
+    round-2 19L fat layout with in-kernel attribute interpolation.
+    Defaults (L=16, lean) are the measured TPU winner — see
+    ops/fused.py module docs / scripts/kbench.py."""
     L = leaf_size
     num_inst = len(mesh_ids)
     assert num_inst < (1 << 11), "instance tag field is 11 bits"
@@ -152,8 +163,10 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
                 boxes[off + r, k * 6:k * 6 + 3] = c["lo"]
                 boxes[off + r, k * 6 + 3:k * 6 + 6] = c["hi"]
 
-    # static leaf columns: [geom 9L | object normals 9L | prim L]
+    # static leaf columns: lean [geom 9L] + (S, 10) attrs side table, or
+    # fat [geom 9L | object normals 9L | prim L]
     cols = []
+    attr_rows = []
     for m in mesh_set:
         _, stream = mesh_recs[m]
         perm = np.asarray(stream, np.int64)
@@ -169,17 +182,23 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
         geom9 = np.concatenate([v0, e1, e2], axis=1)       # (T, 9)
         prim = np.where(pad, 0, perm_c).astype(np.float32)
         nl = len(perm) // L
-        cols.append(np.concatenate([
-            geom9.reshape(nl, 9 * L),
-            nrm.reshape(nl, 9 * L),
-            prim.reshape(nl, L),
-        ], axis=1))
-    cols = np.concatenate(cols)                             # (leaves, 19L)
+        if lean:
+            cols.append(geom9.reshape(nl, 9 * L))
+            attr_rows.append(
+                np.concatenate([nrm, prim[:, None]], axis=1))  # (T, 10)
+        else:
+            cols.append(np.concatenate([
+                geom9.reshape(nl, 9 * L),
+                nrm.reshape(nl, 9 * L),
+                prim.reshape(nl, L),
+            ], axis=1))
+    cols = np.concatenate(cols)              # (leaves, 9L) | (leaves, 19L)
     l_pad = -(-n_leaves // 128) * 128 - n_leaves
     cols = np.concatenate(
         [cols, np.zeros((l_pad, cols.shape[1]), np.float32)])
     tris = jnp.asarray(
         cols.reshape(-1, 128, cols.shape[1]).transpose(0, 2, 1))
+    attrs = (jnp.asarray(np.concatenate(attr_rows)) if lean else None)
 
     # per-instance mesh-root object box corners (for world-box refit)
     corners = np.zeros((num_inst, 8, 3), np.float32)
@@ -212,7 +231,7 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 8,
     stack = max(128, int(6 * depth[0] + 16))
 
     sw = SceneWideBVH(
-        nodes=None, tris=tris, inv_mats=None,
+        nodes=None, tris=tris, inv_mats=None, attrs=attrs,
         static_cols=jnp.asarray(static_cols),
         mesh_boxes=jnp.asarray(boxes[n_top:]),
         root_corners=jnp.asarray(corners),
@@ -297,11 +316,26 @@ def trace_scene_wide_fused(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
     Returns (HitRecord, normal): normal is the UNNORMALIZED OBJECT-space
     interpolated surface normal (zero where missed); callers transform by
     the instance normal matrix."""
-    t, u, v, nrm, prim, inst = trace_tiles_instanced(
-        sw.nodes, sw.tris, sw.inv_mats, ray_o, ray_d, t_min, t_max,
-        leaf_size=int(sw.leaf_size), interpret=interpret,
-        stack=int(sw.stack), tile_s=tile_s)
-    hit = prim >= 0
+    lean = sw.attrs is not None
+    if lean:
+        t, u, v, sidx, inst = trace_tiles_instanced(
+            sw.nodes, sw.tris, sw.inv_mats, ray_o, ray_d, t_min, t_max,
+            leaf_size=int(sw.leaf_size), interpret=interpret,
+            stack=int(sw.stack), tile_s=tile_s, lean=True)
+        hit = sidx >= 0
+        # one 10-wide gather resolves the winner's vertex normals + prim
+        att = sw.attrs[jnp.clip(sidx, 0, sw.attrs.shape[0] - 1)]
+        w0 = (1.0 - u - v)[..., None]
+        nrm = (w0 * att[:, 0:3] + u[..., None] * att[:, 3:6]
+               + v[..., None] * att[:, 6:9])
+        nrm = jnp.where(hit[..., None], nrm, 0.0)
+        prim = jnp.where(hit, att[:, 9].astype(jnp.int32), -1)
+    else:
+        t, u, v, nrm, prim, inst = trace_tiles_instanced(
+            sw.nodes, sw.tris, sw.inv_mats, ray_o, ray_d, t_min, t_max,
+            leaf_size=int(sw.leaf_size), interpret=interpret,
+            stack=int(sw.stack), tile_s=tile_s, lean=False)
+        hit = prim >= 0
     rec = HitRecord(t=t, prim=prim, u=u, v=v, hit=hit, inst=inst)
     return rec, nrm
 

@@ -30,6 +30,12 @@ class EnvMap(NamedTuple):
     offsets: jnp.ndarray   # (L,) int32 start of each mip in data
     sizes: jnp.ndarray     # (L,) int32 face edge length per mip
     num_mips: int          # static
+    # (N, 12) float32: per texel its 2x2 bilinear footprint
+    # [c00 c10 c01 c11], edge-clamped at build time, so one bilinear tap
+    # is ONE gather.  TPU gathers cost ~6 ns/row regardless of row width
+    # (scripts/envbench.py: 8-gather trilinear 45 ms vs quad 12 ms at
+    # 921k rays), so trading 4x memory for 4x fewer gathers wins big.
+    quad: jnp.ndarray = None
 
 
 def pack_mips(mips: List[np.ndarray]) -> EnvMap:
@@ -37,19 +43,26 @@ def pack_mips(mips: List[np.ndarray]) -> EnvMap:
     offsets = []
     sizes = []
     chunks = []
+    quads = []
     off = 0
     for m in mips:
         s = m.shape[1]
         assert m.shape == (6, s, s, 3)
         offsets.append(off)
         sizes.append(s)
-        chunks.append(np.asarray(m, np.float32).reshape(-1, 3))
+        m = np.asarray(m, np.float32)
+        chunks.append(m.reshape(-1, 3))
+        x1 = np.minimum(np.arange(s) + 1, s - 1)
+        quads.append(np.concatenate(
+            [m, m[:, :, x1], m[:, x1, :], m[:, x1][:, :, x1]],
+            axis=-1).reshape(-1, 12))
         off += 6 * s * s
     return EnvMap(
         data=jnp.asarray(np.concatenate(chunks, axis=0)),
         offsets=jnp.asarray(offsets, jnp.int32),
         sizes=jnp.asarray(sizes, jnp.int32),
         num_mips=len(mips),
+        quad=jnp.asarray(np.concatenate(quads, axis=0)),
     )
 
 
@@ -105,30 +118,40 @@ def face_uv_to_dir(face: int, u, v):
 def _bilinear(env: EnvMap, mip, face, u, v):
     """Bilinear sample one mip level (per-ray dynamic mip index).
 
-    The four tap gathers ride one optimization_barrier so XLA cannot
-    fuse each gather into multiple elementwise consumers and re-execute
-    it per consumer (a round-2 precaution; see docs/PERF.md for what the
-    measurements did and did not support)."""
-    import jax
-
+    Single-gather path: each quad row already holds the texel's
+    edge-clamped 2x2 footprint, so one gather + 4 FMAs replaces 4 row
+    gathers (the gathers dominate: ~6 ns/row each on TPU regardless of
+    width — scripts/envbench.py).  Clamping the CONTINUOUS coordinate to
+    [0, s-1] reproduces the per-tap clamp exactly: outside that range the
+    out-of-face tap's weight is 0 and the footprint's own clamped copy
+    matches the old duplicated-tap sum."""
     s = env.sizes[mip]
     off = env.offsets[mip]
     sf = s.astype(jnp.float32)
-    x = u * sf - 0.5
-    y = v * sf - 0.5
+    x = jnp.clip(u * sf - 0.5, 0.0, sf - 1.0)
+    y = jnp.clip(v * sf - 0.5, 0.0, sf - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def tex(xi, yi):
-        xi = jnp.clip(xi, 0, s - 1).astype(jnp.int32)
-        yi = jnp.clip(yi, 0, s - 1).astype(jnp.int32)
-        idx = off + (face * s + yi) * s + xi
-        return env.data[idx]
+    if env.quad is not None:
+        idx = off + (face * s + y0.astype(jnp.int32)) * s \
+            + x0.astype(jnp.int32)
+        q = env.quad[idx]
+        c00, c10, c01, c11 = (q[..., 0:3], q[..., 3:6],
+                              q[..., 6:9], q[..., 9:12])
+    else:
+        import jax
 
-    c00, c10, c01, c11 = jax.lax.optimization_barrier(
-        (tex(x0, y0), tex(x0 + 1, y0), tex(x0, y0 + 1), tex(x0 + 1, y0 + 1)))
+        def tex(xi, yi):
+            xi = jnp.clip(xi, 0, s - 1).astype(jnp.int32)
+            yi = jnp.clip(yi, 0, s - 1).astype(jnp.int32)
+            return env.data[off + (face * s + yi) * s + xi]
+
+        c00, c10, c01, c11 = jax.lax.optimization_barrier(
+            (tex(x0, y0), tex(x0 + 1, y0), tex(x0, y0 + 1),
+             tex(x0 + 1, y0 + 1)))
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 

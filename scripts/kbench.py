@@ -39,7 +39,8 @@ def build():
 
     scene = Scene.create("/root/reference/Bin/Assets/bunny.obj")
     geom = upload_scene(scene, leaf_size=8)
-    sw = build_scene_wide(geom, scene.mesh_ids, leaf_size=8)
+    # lab kernels price the fat (19L) layout and strip it themselves
+    sw = build_scene_wide(geom, scene.mesh_ids, leaf_size=8, lean=False)
 
     cam = Camera(width=W, height=H)
     view_proj = jnp.asarray(cam.view_proj())
@@ -74,7 +75,7 @@ def reflection_rays(sw, o_p, d_p):
 
     t, u, v, nrm, prim, inst = trace_tiles_instanced(
         sw.nodes, sw.tris, sw.inv_mats, o_p, d_p, 0.0, T_MAX,
-        leaf_size=8, stack=int(sw.stack))
+        leaf_size=8, stack=int(sw.stack), lean=False)
     hit = prim >= 0
     n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
                           1e-20)
@@ -135,7 +136,7 @@ def main():
         if kw.pop("l16", False):
             if sw16 is None:
                 sw16 = build_scene_wide(geom, scene.mesh_ids,
-                                        leaf_size=16)
+                                        leaf_size=16, lean=False)
             s = sw16
             L = 16
         smem = kw.pop("smem_nodes", False)

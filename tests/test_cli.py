@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from raytracedggx_tpu.engine.cli import parse_args
@@ -27,6 +28,7 @@ def test_toggles_and_headless_controls():
     assert a.extra_instance == [["1", "2", "3", "0.5"]]
 
 
+@pytest.mark.slow
 def test_emulate_formats_end_to_end():
     """Flag-rot guard: the reference-precision storage round-trip config
     renders finite frames."""
@@ -45,6 +47,7 @@ def test_emulate_formats_end_to_end():
     assert np.isfinite(f).all() and f.max() > 0
 
 
+@pytest.mark.slow
 def test_async_toggle_identical_frames():
     """'A' toggle pair self-check: split-dispatch vs fused program must
     render the same image (RayTracedGGX.cpp:391-396 analog)."""

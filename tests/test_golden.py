@@ -123,6 +123,7 @@ def _render_bunny():
     return np.clip(np.asarray(frame), 0, 1)
 
 
+@pytest.mark.slow
 def test_golden_bunny_ndc_formats():
     if not os.path.exists(BUNNY_GOLDEN):
         pytest.skip("golden image not generated yet")

@@ -18,6 +18,7 @@ def tiny_scene():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
+@pytest.mark.slow
 def test_sharded_matches_single_chip():
     scene = tiny_scene()
     cfg = RenderConfig(width=W, height=H)
@@ -55,6 +56,7 @@ def test_sharded_history_is_sharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
+@pytest.mark.slow
 def test_sharded_fast_motion_halo_stress():
     """VERDICT round-1 weak item 7: the halo claim was only verified at
     near-zero velocity.  Drive the animation fast (dt=0.25 -> 4 deg/frame)
@@ -134,6 +136,7 @@ def test_halo_exchange_edge_semantics():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
+@pytest.mark.slow
 def test_sharded_fused_kernel_band():
     """The fused instanced kernel must serve sharded bands too (each
     device refits + traces its band + halo; interpret mode off-TPU).
