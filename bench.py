@@ -77,7 +77,9 @@ def _run_config(cfg_id: int):
 
     c = CONFIGS[cfg_id]
     w, h = c["res"] or _res()
-    frames = int(os.environ.get("RTGGX_BENCH_FRAMES", c.get("frames", 8)))
+    # enough frames that the one end-of-run frame download (~350 ms for
+    # 11 MB over the tunnel) doesn't distort the per-frame mean
+    frames = int(os.environ.get("RTGGX_BENCH_FRAMES", c.get("frames", 60)))
 
     mesh = f"{ASSETS}/{c['mesh']}"
     extra = tuple((2.5 * (i % 3) - 2.5, 0.0, 2.5 * (i // 3) - 2.5, 0.6)
@@ -119,13 +121,22 @@ def _run_config(cfg_id: int):
             diff_rays = int((hit & (metal < 1.0)).sum())
             rays_per_frame = w * h + refl_rays + diff_rays
 
+            # scan-chained chunks: one dispatch per CHUNK frames, the
+            # deployment shape of a continuous render loop (the tunnel
+            # charges ~65 ms of host/queue latency per dispatch — round-3
+            # profiler trace)
+            chunk = min(30, frames)
+            state, frame = r.step_n(state, chunk, dt=anim_dt)  # compile
+            np.asarray(frame)
             t0 = time.time()
-            for _ in range(frames):
-                state, frame, _ = r.step(state, dt=anim_dt)
+            done = 0
+            while done < frames:
+                state, frame = r.step_n(state, chunk, dt=anim_dt)
+                done += chunk
             # force full materialization on the host — block_until_ready
             # alone has proven unreliable on the tunneled backend
             np.asarray(frame)
-            dt = (time.time() - t0) / frames
+            dt = (time.time() - t0) / done
             dt_total += dt
             tag = kernels if len(variants) > 1 else env_name
             notes.append(f"{tag} {dt * 1e3:.1f}ms")

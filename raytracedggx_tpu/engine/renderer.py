@@ -70,6 +70,12 @@ class RenderConfig:
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
+    secondary_bucket: float = 0.375  # live-prefix fraction for secondary
+                                    # waves: trace/shade/permute only a
+                                    # static bucket of the sorted wave
+                                    # (dead rays sort last); lax.cond
+                                    # falls back to the full wave when
+                                    # live rays overflow.  0 disables.
     dbg_miss_lod: float = 0.0       # env LOD for primary-miss radiance
                                     # (reference semantics = 0; fidelity
                                     # A/B knob, scripts/fidelity_ab.py)
@@ -169,11 +175,14 @@ class Renderer:
         self.kernels_interpret = (self.kernels == "pallas"
                                   and jax.default_backend() != "tpu")
 
-        # screen-block ray ordering keeps kernel tile frusta compact
-        from ..ops.traverse_pallas import block_order
+        # screen-block ray ordering keeps kernel tile frusta compact;
+        # aligned viewports get the reshape-based BlockOrder (no gathers)
+        from ..ops.traverse_pallas import make_block_order
         if mode.startswith("pallas") or mode == "wide":
-            o, i = block_order(self.config.width, self.config.height)
-            self.ray_order = (jnp.asarray(o), jnp.asarray(i))
+            bo = make_block_order(self.config.width, self.config.height)
+            if isinstance(bo, tuple):
+                bo = (jnp.asarray(bo[0]), jnp.asarray(bo[1]))
+            self.ray_order = bo
         else:
             self.ray_order = None
 
@@ -195,6 +204,7 @@ class Renderer:
 
         self._step = jax.jit(partial(self._frame_step),
                              static_argnames=(), donate_argnums=(0,))
+        self._step_n_cache = {}
         # 'A' toggle: TLAS refit as its own dispatched program (the
         # compute-queue submission analog, RayTracedGGX.cpp:304-339)
         self._refit = jax.jit(self._refit_step)
@@ -353,6 +363,7 @@ class Renderer:
                              sort_secondary=(cfg.sort_secondary and
                                              self.traversal in
                                              ("pallas", "wide", "pallas4")),
+                             secondary_bucket=cfg.secondary_bucket,
                              dbg_no_refl_trace=cfg.dbg_no_refl_trace,
                              dbg_no_secondary_shade=(
                                  cfg.dbg_no_secondary_shade),
@@ -388,6 +399,32 @@ class Renderer:
                                 consts, tlas_arrays, wide_arrays, wvp,
                                 angle)
         return self._step(state, dt, self.materials.rough_metals)
+
+    def step_n(self, state: RenderState, num_frames: int,
+               dt: float = 1 / 60):
+        """num_frames frames in ONE dispatch (lax.scan over the frame
+        step), returning (state, last_frame).  The deployment shape of a
+        continuous render loop: per-dispatch host/tunnel latency (~65 ms
+        on the tunneled TPU, round-3 profiler trace) is paid once per
+        chunk instead of once per frame."""
+        fn = self._step_n_cache.get(num_frames)
+        if fn is None:
+            def chain(state, dtv, rms):
+                h, w = self.config.height, self.config.width
+
+                def body(carry, _):
+                    st, _last = carry
+                    st2, frame, _aux = self._frame_step(st, dtv, rms)
+                    return (st2, frame), None
+
+                init = (state, jnp.zeros((h, w, 3), jnp.float32))
+                (state, last), _ = jax.lax.scan(
+                    body, init, None, length=num_frames)
+                return state, last
+
+            fn = self._step_n_cache[num_frames] = jax.jit(
+                chain, donate_argnums=(0,))
+        return fn(state, jnp.float32(dt), self.materials.rough_metals)
 
     def set_metallic(self, mesh_idx: int, metallic: float):
         """RayTracer::SetMetallic (RayTracer.cpp:243-247). Per-mesh: every

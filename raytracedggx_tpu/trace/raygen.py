@@ -105,25 +105,39 @@ def take_small(table, idx, num: int):
     return (oh @ flat).reshape(idx.shape + table.shape[1:])
 
 
-def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
-    """Trace with an optional ray permutation (2D screen-block order so
-    kernel tiles get compact frusta — ops/traverse_pallas.block_order).
-    The ray fields ride bundled permutation gathers (one in, two out) —
-    measured neutral vs separate gathers, kept for fusion locality."""
+def _order_fns(ray_order):
+    """(permute, unpermute) for either ordering representation: a static
+    BlockOrder (reshape/transpose — streaming copy, no gather) or
+    (order, inverse) index arrays (one bundled gather each way; gathers
+    cost ~6 ns/row width-independent, so bundling is what matters)."""
     import jax
 
+    from ..ops.traverse_pallas import BlockOrder
+
+    if isinstance(ray_order, BlockOrder):
+        return ray_order.permute, ray_order.unpermute
+    order, inv = ray_order
+    if inv is None:      # lazily built: only non-bucketed paths pay it
+        # argsort of a permutation IS its inverse, and the bitonic sort
+        # (~1.2 ms @720p) beats the scatter form (~4 ms)
+        inv = jnp.argsort(order)
+    return (lambda x: jax.lax.optimization_barrier(x[order]),
+            lambda x: jax.lax.optimization_barrier(x[inv]))
+
+
+def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
+    """Trace with an optional ray permutation (2D screen-block order so
+    kernel tiles get compact frusta — ops/traverse_pallas.block_order)."""
     if ray_order is None:
         return trace_fn(tlas, o, d, t_min, t_max)
-    order, inv = ray_order
+    perm, unperm = _order_fns(ray_order)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    bundle = jax.lax.optimization_barrier(
-        jnp.concatenate([o, d, tm[:, None]], axis=-1)[order])
+    bundle = perm(jnp.concatenate([o, d, tm[:, None]], axis=-1))
     rec = trace_fn(tlas, bundle[:, 0:3], bundle[:, 3:6], t_min,
                    bundle[:, 6])
-    fl = jax.lax.optimization_barrier(jnp.stack(
-        [rec.t, rec.u, rec.v, rec.hit.astype(jnp.float32)], axis=-1)[inv])
-    ints = jax.lax.optimization_barrier(
-        jnp.stack([rec.prim, rec.inst], axis=-1)[inv])
+    fl = unperm(jnp.stack(
+        [rec.t, rec.u, rec.v, rec.hit.astype(jnp.float32)], axis=-1))
+    ints = unperm(jnp.stack([rec.prim, rec.inst], axis=-1))
     return type(rec)(t=fl[:, 0], prim=ints[:, 0], u=fl[:, 1], v=fl[:, 2],
                      hit=fl[:, 3] > 0.5, inst=ints[:, 1])
 
@@ -131,23 +145,19 @@ def _trace_ordered(trace_fn, tlas, o, d, t_min, t_max, ray_order):
 def _trace_ordered_fused(trace_fused, o, d, t_min, t_max, ray_order):
     """_trace_ordered for fused tracers returning (HitRecord, normal):
     the interpolated world normal rides the bundled un-permute."""
-    import jax
-
     from .traverse import HitRecord
 
     if ray_order is None:
         return trace_fused(o, d, t_min, t_max)
-    order, inv = ray_order
+    perm, unperm = _order_fns(ray_order)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    bundle = jax.lax.optimization_barrier(
-        jnp.concatenate([o, d, tm[:, None]], axis=-1)[order])
+    bundle = perm(jnp.concatenate([o, d, tm[:, None]], axis=-1))
     rec, nrm = trace_fused(bundle[:, 0:3], bundle[:, 3:6], t_min,
                            bundle[:, 6])
-    fl = jax.lax.optimization_barrier(jnp.concatenate(
+    fl = unperm(jnp.concatenate(
         [jnp.stack([rec.t, rec.u, rec.v, rec.hit.astype(jnp.float32)],
-                   axis=-1), nrm], axis=-1)[inv])
-    ints = jax.lax.optimization_barrier(
-        jnp.stack([rec.prim, rec.inst], axis=-1)[inv])
+                   axis=-1), nrm], axis=-1))
+    ints = unperm(jnp.stack([rec.prim, rec.inst], axis=-1))
     rec = HitRecord(t=fl[:, 0], prim=ints[:, 0], u=fl[:, 1], v=fl[:, 2],
                     hit=fl[:, 3] > 0.5, inst=ints[:, 1])
     return rec, fl[:, 4:7]
@@ -171,18 +181,83 @@ def _trace_shade_ordered_fused(trace_fused, shade_fn, env, o, d, t_min,
         env_rad = sample_env(env, d, miss_lod)
         rad = jnp.where(rec.hit[..., None], shaded, env_rad)
         return rad, rec.hit
-    order, inv = ray_order
+    perm, unperm = _order_fns(ray_order)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    bundle = jax.lax.optimization_barrier(
-        jnp.concatenate([o, d, tm[:, None]], axis=-1)[order])
+    bundle = perm(jnp.concatenate([o, d, tm[:, None]], axis=-1))
     o_s, d_s = bundle[:, 0:3], bundle[:, 3:6]
     rec, nrm = trace_fused(o_s, d_s, t_min, bundle[:, 6])
     shaded = shade_fn(rec, nrm, o_s, d_s)
     env_rad = sample_env(env, d_s, miss_lod)  # miss radiance, still sorted
     rad = jnp.where(rec.hit[..., None], shaded, env_rad)
-    out = jax.lax.optimization_barrier(jnp.concatenate(
-        [rad, rec.hit[..., None].astype(jnp.float32)], axis=-1)[inv])
+    out = unperm(jnp.concatenate(
+        [rad, rec.hit[..., None].astype(jnp.float32)], axis=-1))
     return out[:, 0:3], out[:, 3] > 0.5
+
+
+def _trace_shade_bucketed_fused(trace_fused, shade_fn, env, o, d, t_min,
+                                t_max, ray_order, bucket: int,
+                                miss_lod=0.0, miss_all=None):
+    """Bucketed secondary wave: every per-lane cost except the sort and
+    the miss-env lookup becomes BUCKET-proportional instead of
+    R-proportional.
+
+    The morton/octant sort compacts dead rays last, so the live wave is
+    a PREFIX of the sorted order; when it fits a static `bucket`-row
+    prefix, trace + hit shading + the permutation run on that prefix
+    only (gathers cost ~6 ns/row, so a 921k-row permute is ~5.6 ms while
+    a 128k-row one is ~0.8 ms — scripts/sortbench.py; at 4K the full-R
+    permutes alone were ~300 ms).  Dead lanes only ever contribute the
+    miss radiance, computed for everyone in ROW-MAJOR order (no permute)
+    and overwritten for bucket lanes by a bucket-row scatter.  A runtime
+    lax.cond falls back to the full sorted path when the live count
+    exceeds the bucket, preserving exact semantics for any scene.
+
+    ray_order must be (order, inverse) arrays (a data-dependent sort)."""
+    import jax
+
+    order, inv = ray_order
+    R = o.shape[0]
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    # Row-major miss radiance.  Only DEAD lanes ever read it (live lanes
+    # are overwritten by the bucket scatter), and the only dead lanes
+    # whose radiance survives downstream are sky pixels, where
+    # trace_dir == the primary ray_d bitwise — so the caller may pass
+    # one shared sample_env(ray_d) for all secondary waves instead of
+    # paying the R-row gather per wave.
+    env_all = (miss_all if miss_all is not None
+               else sample_env(env, d, miss_lod))
+    live = jnp.sum((tm > 0.0).astype(jnp.int32))
+
+    def bucket_path(_):
+        idx = order[:bucket]                          # static slice
+        bundle = jax.lax.optimization_barrier(
+            jnp.concatenate([o, d, tm[:, None]], axis=-1)[idx])
+        o_k, d_k = bundle[:, 0:3], bundle[:, 3:6]
+        rec, nrm = trace_fused(o_k, d_k, t_min, bundle[:, 6])
+        shaded = shade_fn(rec, nrm, o_k, d_k)
+        env_k = sample_env(env, d_k, miss_lod)
+        rad_k = jnp.where(rec.hit[..., None], shaded, env_k)
+        # back to row-major WITHOUT a scatter (scatters cost ~3x a
+        # gather per row — round-3 trace: the .at[idx].set form was
+        # 14 ms/frame): invert the permutation with a second argsort
+        # (~1.2 ms) and fetch each row's bucket result with one gather,
+        # falling back to the row-major miss radiance outside the bucket
+        inv = jnp.argsort(order)
+        back = jnp.concatenate(
+            [rad_k, rec.hit[..., None].astype(jnp.float32)], axis=-1
+        )[jnp.minimum(inv, bucket - 1)]
+        in_b = (inv < bucket)[..., None]
+        rad = jnp.where(in_b, back[:, 0:3], env_all)
+        hit = in_b[..., 0] & (back[:, 3] > 0.5)
+        return rad, hit
+
+    def full_path(_):
+        return _trace_shade_ordered_fused(
+            trace_fused, shade_fn, env, o, d, t_min, t_max,
+            (order, inv), miss_lod=miss_lod)
+
+    from jax import lax
+    return lax.cond(live <= bucket, bucket_path, full_path, None)
 
 
 def world_to_object(consts: FrameConstants, inst, num_i: int,
@@ -432,6 +507,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    width: int, height: int, bary_mode: str = "direct",
                    row0=0, band_height=None, trace_fn=None, ray_order=None,
                    sort_secondary=False, trace_fused=None,
+                   secondary_bucket=0.25,
                    dbg_no_refl_trace=False, dbg_no_secondary_shade=False,
                    dbg_env_mode="full", dbg_miss_lod=0.0):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
@@ -473,7 +549,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
     if dbg_no_refl_trace:     # ablation: kill the wave (profiling only)
         tmax_r = jnp.full_like(tmax_r, -1.0)
 
-    def secondary_order(dirs, tmax):
+    def secondary_order(dirs, tmax, with_inverse=True):
         """Morton+octant sort with dead-ray compaction for bounce waves
         (kernel-tile coherence; trades an argsort for smaller node-visit
         unions)."""
@@ -482,7 +558,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         from ..ops.traverse_pallas import sort_rays_morton
         lo = jnp.min(tlas.aabb_min, axis=0)
         hi = jnp.max(tlas.aabb_max, axis=0)
-        return sort_rays_morton(p, dirs, lo, hi, active=tmax > 0)
+        return sort_rays_morton(p, dirs, lo, hi, active=tmax > 0,
+                                with_inverse=with_inverse)
 
     # closestHitReflection early-out (:573): payload seeded with
     # color * metallic; all-nonpositive seed skips hit shading
@@ -500,10 +577,24 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                                     fused_n=nrm, ray_o=o_s,
                                     dbg_env_mode=dbg_env_mode)
 
-        radiance_r, hit_r = _trace_shade_ordered_fused(
-            trace_fused, shade_r, env, p, trace_dir, T_MIN_SECONDARY,
-            tmax_r, secondary_order(trace_dir, tmax_r),
-            miss_lod=dbg_miss_lod)
+        bucket = int(secondary_bucket * R) if secondary_bucket else 0
+        bucket = -(-bucket // 8192) * 8192            # whole kernel tiles
+        use_bucket = sort_secondary and 0 < bucket < R
+        sec_order = secondary_order(trace_dir, tmax_r,
+                                    with_inverse=not use_bucket)
+        if use_bucket:
+            # one shared row-major miss lookup: sky lanes (the only dead
+            # lanes whose radiance survives) have trace_dir == ray_d
+            miss_all = sample_env(env, surf["ray_d"], dbg_miss_lod)
+            radiance_r, hit_r = _trace_shade_bucketed_fused(
+                trace_fused, shade_r, env, p, trace_dir,
+                T_MIN_SECONDARY, tmax_r, sec_order, bucket,
+                miss_lod=dbg_miss_lod, miss_all=miss_all)
+        else:
+            radiance_r, hit_r = _trace_shade_ordered_fused(
+                trace_fused, shade_r, env, p, trace_dir,
+                T_MIN_SECONDARY, tmax_r, sec_order,
+                miss_lod=dbg_miss_lod)
         radiance_r = jnp.where(seed_dead & hit_r[..., None], seed,
                                radiance_r)
     else:
@@ -552,10 +643,17 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                                         damp_diffuse_albedo=True,
                                         fused_n=nrm, ray_o=o_s)
 
-            radiance_d, _hd = _trace_shade_ordered_fused(
-                trace_fused, shade_d, env, p, trace_dir_d,
-                T_MIN_SECONDARY, tmax_d,
-                secondary_order(trace_dir_d, tmax_d))
+            d_order = secondary_order(trace_dir_d, tmax_d,
+                                      with_inverse=not use_bucket)
+            if use_bucket:
+                radiance_d, _hd = _trace_shade_bucketed_fused(
+                    trace_fused, shade_d, env, p, trace_dir_d,
+                    T_MIN_SECONDARY, tmax_d, d_order, bucket,
+                    miss_all=miss_all)
+            else:
+                radiance_d, _hd = _trace_shade_ordered_fused(
+                    trace_fused, shade_d, env, p, trace_dir_d,
+                    T_MIN_SECONDARY, tmax_d, d_order)
         else:
             rec_d = _trace_ordered(trace_fn, tlas, p, trace_dir_d,
                                    T_MIN_SECONDARY, tmax_d,
