@@ -2,7 +2,7 @@
 
 Instance transforms per frame (RayTracer::UpdateFrame, RayTracer.cpp:269-279):
 
-- mesh 0 (ground): scaling(10, 0.5, 10) * translation(0, -0.5, 0)   [static]
+- mesh 0 (ground): scaling(8, 0.5, 8) * translation(0, -0.5, 0)    [static]
 - mesh 1 (model):  scaling(s) * rotationY(angle) * translation(pos)
   with angle advancing 16 deg/s * timeStep (RayTracer.cpp:270-272).
 
@@ -36,10 +36,10 @@ class Scene:
     # additional animated model instances (multi-instance TLAS — BASELINE
     # config 5); each entry is a (x, y, z, scale) like pos_scale
     extra_instances: tuple = ()
-    # ground plate XZ half-extent; the reference uses 8.0
-    # (RayTracer.cpp:192 XMMatrixScaling(8, 0.5, 8)) — kept as a field so
+    # ground plate XZ half-extent, matching the reference
+    # (RayTracer.cpp:192 XMMatrixScaling(8, 0.5, 8)); kept as a field so
     # fidelity A/Bs can sweep it against the published render
-    ground_scale: float = 10.0
+    ground_scale: float = 8.0
 
     @staticmethod
     def create(model_path: str, pos_scale=(0.0, 0.0, 0.0, 1.0),
