@@ -1,0 +1,88 @@
+"""Per-op device timeline of one renderer dispatch, from a jax.profiler
+trace (the GPU-timestamp-query analog, SURVEY.md §5).  Captures a
+step_n(CHUNK) dispatch — the deployment shape bench.py measures — and
+prints the top ops by total device time, grouped by fusion/kernel name.
+
+Usage: python scripts/profile_xla.py [WxH] [chunk]
+"""
+
+import collections
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from raytracedggx_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+import numpy as np  # noqa: E402
+
+
+def capture(res="1280x720", chunk=10, logdir="/tmp/rtggx-xla-trace"):
+    import jax
+
+    from raytracedggx_tpu.scene import Scene
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+    from raytracedggx_tpu.io.dds import load_cubemap_env
+
+    w, h = (int(v) for v in res.split("x"))
+    env = load_cubemap_env("/root/reference/Bin/Assets/rnl_cross.dds")
+    scene = Scene.create("/root/reference/Bin/Assets/bunny.obj")
+    r = Renderer(scene, env=env, config=RenderConfig(width=w, height=h))
+    state = r.init_state()
+    state, frame = r.step_n(state, chunk)      # compile + warm
+    np.asarray(frame)
+
+    jax.profiler.start_trace(logdir)
+    state, frame = r.step_n(state, chunk)
+    np.asarray(frame)
+    jax.profiler.stop_trace()
+    return logdir, chunk
+
+
+def summarize(logdir, chunk, top=40):
+    """Walk the xplane: sum device-lane event durations by op name."""
+    import glob
+    import gzip
+
+    from jax.profiler import ProfileData
+
+    paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
+    assert paths, f"no xplane under {logdir}"
+    raw = open(paths[-1], "rb").read()
+    try:
+        raw = gzip.decompress(raw)
+    except OSError:
+        pass
+    prof = ProfileData.from_serialized_xspace(raw)
+
+    total_by_op = collections.Counter()
+    lanes = 0
+    for plane in prof.planes:
+        pname = plane.name.lower()
+        if "tpu" not in pname and "device" not in pname:
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            # keep compute lanes; skip host threads and derived lines
+            if any(k in lname for k in ("step", "framework", "source",
+                                        "module", "host")):
+                continue
+            lanes += 1
+            for ev in line.events:
+                total_by_op[ev.name] += ev.duration_ns
+    ms = 1e-6
+    grand = sum(total_by_op.values())
+    print(f"device lanes: {lanes}; total device-op time "
+          f"{grand * ms:.1f} ms over {chunk} frames "
+          f"({grand * ms / chunk:.2f} ms/frame)")
+    print(f"{'op':72s} {'ms/frame':>9s} {'%':>6s}")
+    for name, ns in total_by_op.most_common(top):
+        print(f"{name[:72]:72s} {ns * ms / chunk:9.3f} "
+              f"{100.0 * ns / max(grand, 1):6.2f}")
+
+
+if __name__ == "__main__":
+    res = sys.argv[1] if len(sys.argv) > 1 else "1280x720"
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    logdir, chunk = capture(res, chunk)
+    summarize(logdir, chunk)
