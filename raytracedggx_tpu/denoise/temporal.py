@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 HISTORY_BITS = 4
 HISTORY_MAX = float((1 << HISTORY_BITS) - 1)
@@ -60,6 +61,39 @@ def _tm(rgb):
 def _itm(c):
     c = c * (4.0 / (1.0 - c[..., 0:1]))
     return ycocg_to_rgb(c)
+
+
+def _tent_resample(img, dx, dy, D: int):
+    """Bilinear resample of ``img`` at per-pixel offsets (dx, dy) pixels,
+    EXACT whenever every |dx|,|dy| <= D, as a windowed tent stencil:
+
+        out(p) = sum_{oy,ox} max(0,1-|dy(p)-oy|) * max(0,1-|dx(p)-ox|)
+                             * img(py+oy, px+ox)
+
+    Bilinear interpolation IS a tent filter evaluated at integer taps, so
+    for bounded displacement the R-row gather (~4-6 ns/row on TPU —
+    docs/PERF.md r3 xplane; layout laundering does NOT fix it,
+    scripts/layoutbench.py) becomes (2D+2)^2 shifted multiply-adds that
+    XLA fuses into one windowed streaming loop over the padded image.
+    The weights must NOT be factored into separable row/column passes:
+    the displacement field varies per pixel, so an intermediate y-pass
+    would bake in wy evaluated at the shifted column instead of the
+    destination (measured max-error ~4.7 on random fields).  Taps with
+    indices outside the image always carry weight 0 when the sample
+    coordinate is in bounds, so zero-padding is safe."""
+    h, w = img.shape[0], img.shape[1]
+    pad = jnp.pad(img, ((D, D + 1), (D, D + 1), (0, 0)))
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - ox))[..., None]
+           for ox in range(-D, D + 2)]
+    out = jnp.zeros_like(img)
+    for oy in range(-D, D + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy))[..., None]
+        row = jnp.zeros_like(img)
+        for ox in range(-D, D + 2):
+            row = row + wxs[ox + D] * pad[oy + D:oy + D + h,
+                                          ox + D:ox + D + w]
+        out = out + wy * row
+    return out
 
 
 def _bilinear_clamp_pix(img, x, y):
@@ -124,8 +158,26 @@ def temporal_ss(current, history, velocity, full_size=None):
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
 
     vel = _velocity_max(velocity)
-    hist = _bilinear_clamp_pix(history, xs - vel[..., 0] * fw,
-                               ys - vel[..., 1] * fh)
+    # history resample at uv - velocity.  The coordinate is clamped FIRST
+    # (reproducing the bilinear-clamp sampler), making the effective
+    # per-pixel displacement bounded near edges too; when the max
+    # displacement fits the tent radius the resample runs as a shifted
+    # stencil (no gather), with a lax.cond fallback to the exact gather
+    # for fast motion (both branches compute the identical bilinear).
+    qx = jnp.clip(xs - vel[..., 0] * fw, 0.0, w - 1.0)
+    qy = jnp.clip(ys - vel[..., 1] * fh, 0.0, h - 1.0)
+    dx, dy = qx - xs, qy - ys
+    # TPU pricing (scripts/microbench_r3.py): tent D=4 (100 taps) 3.9 ms
+    # vs 9.0 ms for the 921k-row bilinear gather; D=4 covers ~4 px/frame
+    # of motion, beyond which the exact-gather branch takes over.
+    D = 4
+    small = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(dy))) <= D
+    hist = lax.cond(
+        small,
+        lambda args: _tent_resample(args[0], args[1], args[2], D),
+        lambda args: _bilinear_clamp_pix(args[0], xs + args[1],
+                                         ys + args[2]),
+        (history, dx, dy))
 
     # speed -> blur estimate (:276-283)
     blur_amp = 4.0 * tex_size
