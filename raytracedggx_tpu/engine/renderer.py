@@ -223,9 +223,16 @@ class Renderer:
             frame=jnp.zeros((), jnp.int32),
         )
 
-    def _constants(self, state: RenderState, angle):
+    def _constants(self, state: RenderState, angle, cam=None):
+        """cam: optional (view_proj, proj_to_world, eye) runtime arrays
+        overriding the construction-time camera — lets a camera sweep
+        (scripts/validate_reference.py orbit search) reuse ONE compiled
+        frame program for every probe point."""
+        view_proj, proj_to_world, eye = (
+            cam if cam is not None
+            else (self.view_proj, self.proj_to_world, self.eye))
         worlds = self.scene.worlds(angle)
-        wvp = jnp.einsum("ijk,kl->ijl", worlds, self.view_proj)
+        wvp = jnp.einsum("ijk,kl->ijl", worlds, view_proj)
         h2 = self.jitter[state.frame % JITTER_TABLE]
         bias = (h2 * 2.0 - 1.0) / jnp.asarray(
             [self.config.width, self.config.height], jnp.float32)
@@ -234,8 +241,8 @@ class Renderer:
             world_view_projs_prev=state.prev_wvp,
             worlds=worlds,
             world_its=self.scene.normal_matrices(worlds),
-            proj_to_world=self.proj_to_world,
-            eye=self.eye,
+            proj_to_world=proj_to_world,
+            eye=eye,
             proj_bias=bias,
             frame_index=(state.frame % RNG_FRAMES).astype(jnp.uint32),
             inv_worlds=jnp.stack([m3.inverse(worlds[i])
@@ -274,9 +281,10 @@ class Renderer:
         return self._frame_core(state, rough_metals, consts, tlas,
                                 wide_arrays, wvp, angle)
 
-    def _frame_step(self, state: RenderState, dt, rough_metals):
+    def _frame_step(self, state: RenderState, dt, rough_metals,
+                    cam=None):
         angle = state.angle + ANIM_SPEED * dt
-        consts, worlds, wvp = self._constants(state, angle)
+        consts, worlds, wvp = self._constants(state, angle, cam)
         # AS refit — the async-compute-queue update (RayTracer.cpp:326-341)
         tlas, wide_arrays = self._refit_as(worlds)
         return self._frame_core(state, rough_metals, consts, tlas,
@@ -383,15 +391,21 @@ class Renderer:
 
     # -- host-side loop ----------------------------------------------------
 
-    def step(self, state: RenderState, dt: float = 1 / 60):
+    def step(self, state: RenderState, dt: float = 1 / 60, cam=None):
         """One frame. Non-blocking: returns device arrays immediately
         (XLA async dispatch = the queue-overlap analog).
 
         async_compute=True issues the TLAS refit and the render as two
         dispatches (the reference's compute-queue + graphics-queue
         submissions); False fuses them into one program (the single-
-        command-list path, RayTracedGGX.cpp:340-347)."""
+        command-list path, RayTracedGGX.cpp:340-347).
+
+        cam: optional (view_proj, proj_to_world, eye) arrays overriding
+        the construction camera without recompiling (orbit sweeps)."""
         dt = jnp.float32(dt)
+        if cam is not None:
+            return self._step(state, dt, self.materials.rough_metals,
+                              cam)
         if self.config.async_compute:
             consts, tlas_arrays, wide_arrays, wvp, angle = \
                 self._refit(state, dt)

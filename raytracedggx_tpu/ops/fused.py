@@ -73,14 +73,21 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_L = 128
 
 
-def build_records4_padded(bvh, leaf_size: int = 8):
+def build_records4_padded(bvh, leaf_size: int = 8, compact: bool = True):
     """Collapse a binary LBVH into 4-wide supernodes with every leaf
     padded to exactly `leaf_size` stream slots (pad slot = -1).  Returns
     (records, tri_stream): records[i] = child dicts {kind, a, b} where a
     is a LEAF ORDINAL for kind=1 (not a stream position) and a supernode
     index for kind=2; b = real triangle count.  Leaf ordinal j covers
     stream slots [j*L, (j+1)*L).  Mirrors ops/wide.build_records4 but
-    with the fixed-size-leaf invariant the fused kernel needs."""
+    with the fixed-size-leaf invariant the fused kernel needs.
+
+    compact=True is the TPU analog of the reference's acceleration-
+    structure compaction flow (build -> COMPACTED_SIZE query -> pack ->
+    copy, RayTracer.cpp:163-212 / XUSGRayTracing.h:51-66): sibling leaf
+    children whose triangle counts bin-pack into one leaf_size slot are
+    merged (box = union), shrinking the padded stream and the per-tile
+    leaf-visit count.  compaction_stats() is the size-query analog."""
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
     amin = np.asarray(bvh.aabb_min)
@@ -135,14 +142,38 @@ def build_records4_padded(bvh, leaf_size: int = 8):
         idx = len(records)
         records.append(None)
         childs = []
+        leafs = []
         for k in expand4(node):
             if k >= n_int or counts[k] <= L:
-                tris = leaves_of(k)
-                childs.append(dict(kind=1, a=emit_leaf(tris),
-                                   b=len(tris), lo=amin[k], hi=amax[k]))
+                leafs.append(k)
             else:
                 childs.append(dict(kind=2, a=None, b=0, node=k,
                                    lo=amin[k], hi=amax[k]))
+        if compact and len(leafs) > 1:
+            # pack -> copy: greedy first-fit-decreasing bin pack of
+            # sibling leaves into leaf_size-slot bins
+            leafs.sort(key=lambda k: -counts[k] if k < n_int else -1)
+            bins = []                 # [(count, [subtree...])]
+            for k in leafs:
+                c = counts[k] if k < n_int else 1
+                for b in bins:
+                    if b[0] + c <= L:
+                        b[0] += c
+                        b[1].append(k)
+                        break
+                else:
+                    bins.append([c, [k]])
+            for _cnt, ks in bins:
+                tris = [t for k in ks for t in leaves_of(k)]
+                lo = np.min([amin[k] for k in ks], axis=0)
+                hi = np.max([amax[k] for k in ks], axis=0)
+                childs.append(dict(kind=1, a=emit_leaf(tris),
+                                   b=len(tris), lo=lo, hi=hi))
+        else:
+            for k in leafs:
+                tris = leaves_of(k)
+                childs.append(dict(kind=1, a=emit_leaf(tris),
+                                   b=len(tris), lo=amin[k], hi=amax[k]))
         records[idx] = childs
         for c in childs:
             if c["kind"] == 2:
@@ -163,6 +194,21 @@ def build_records4_padded(bvh, leaf_size: int = 8):
     finally:
         sys.setrecursionlimit(old)
     return records, tri_stream
+
+
+def compaction_stats(records, tri_stream, leaf_size: int):
+    """COMPACTED_SIZE-query analog (XUSGRayTracing.h:51-66): occupancy of
+    the padded leaf stream.  Returns dict(tris, slots, leaves, nodes,
+    fill, stream_bytes) — `fill` is real triangles / padded slots; the
+    compact=True bin-pack is what closes the gap the reference closes
+    with its query -> pack -> CopyRaytracingAccelerationStructure flow
+    (RayTracer.cpp:163-212)."""
+    slots = len(tri_stream)
+    tris = sum(1 for t in tri_stream if t >= 0)
+    return dict(tris=tris, slots=slots,
+                leaves=slots // leaf_size, nodes=len(records),
+                fill=tris / max(slots, 1),
+                stream_bytes=slots * 9 * 4)
 
 
 def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,

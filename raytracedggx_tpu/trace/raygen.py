@@ -242,11 +242,11 @@ def _trace_shade_bucketed_fused(trace_fused, shade_fn, env, o, d, t_min,
         # 14 ms/frame): invert the permutation with a second argsort
         # (~1.2 ms) and fetch each row's bucket result with one gather,
         # falling back to the row-major miss radiance outside the bucket
-        inv = jnp.argsort(order)
+        inv_p = jnp.argsort(order)
         back = jnp.concatenate(
             [rad_k, rec.hit[..., None].astype(jnp.float32)], axis=-1
-        )[jnp.minimum(inv, bucket - 1)]
-        in_b = (inv < bucket)[..., None]
+        )[jnp.minimum(inv_p, bucket - 1)]
+        in_b = (inv_p < bucket)[..., None]
         rad = jnp.where(in_b, back[:, 0:3], env_all)
         hit = in_b[..., 0] & (back[:, 3] > 0.5)
         return rad, hit
@@ -256,6 +256,11 @@ def _trace_shade_bucketed_fused(trace_fused, shade_fn, env, o, d, t_min,
             trace_fused, shade_fn, env, o, d, t_min, t_max,
             (order, inv), miss_lod=miss_lod)
 
+    # NOTE a smaller-tier ladder was priced and REVERTED: at 720p the
+    # live reflection wave is ~175-177k rays (~19% of R — the NoL cull
+    # kills almost nothing at rough 0.5), which straddled any half-size
+    # tier bound, and the extra switch branch alone cost ~14 ms/frame
+    # (83.5 vs 69.8 ms bench) — docs/PERF.md r3.
     from jax import lax
     return lax.cond(live <= bucket, bucket_path, full_path, None)
 

@@ -207,6 +207,41 @@ def main():
     variant("ls_lean_l16", leaf_stack=True, lean=True, l16=True)
     variant("ls_lean_smem16", leaf_stack=True, lean=True, l16=True,
             smem_nodes=True)
+
+    def mxu_variant(name, leaf, tile_s=8):
+        if only and name not in only:
+            return
+        from raytracedggx_tpu.ops.fused_mxu import (mxu_stream,
+                                                    trace_tiles_mxu)
+        s = build_scene_wide(geom, scene.mesh_ids, leaf_size=leaf,
+                             lean=True)
+        C = mxu_stream(s)
+        print(f"{name}: stream {C.nbytes / 2**20:.1f} MiB, "
+              f"{s.nodes.shape[0] * 128} node slots", flush=True)
+
+        def launch(o, d, tmax):
+            t, *_ = trace_tiles_mxu(s.nodes, C, s.inv_mats, o, d, 0.0,
+                                    tmax, leaf_size=leaf,
+                                    stack=int(s.stack), tile_s=tile_s)
+            return t
+
+        try:
+            ms_p = time_chain(launch, o_p, d_p,
+                              jnp.full(o_p.shape[:1], T_MAX), frames)
+            ms_r = time_chain(launch, o_r, d_r, tm_r, frames)
+            print(f"{name:12s} primary {ms_p:7.2f} ms   "
+                  f"reflection {ms_r:7.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:12s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    mxu_variant("mxu32", 32)
+    mxu_variant("mxu16", 16)
+    mxu_variant("mxu32_t16", 32, tile_s=16)
+    variant("lean_l16_t2", lean=True, l16=True, tile_s=2)
+    variant("lean_l16_t4", lean=True, l16=True, tile_s=4)
+    variant("lean_l16_t16", lean=True, l16=True, tile_s=16)
+    variant("lean_l16_t32", lean=True, l16=True, tile_s=32)
     if not only or "alldead" in only:
         dead = jnp.full(o_p.shape[:1], -1.0)
 

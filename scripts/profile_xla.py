@@ -55,25 +55,29 @@ def summarize(logdir, chunk, top=40):
         pass
     prof = ProfileData.from_serialized_xspace(raw)
 
+    ms = 1e-6
     total_by_op = collections.Counter()
-    lanes = 0
     for plane in prof.planes:
         pname = plane.name.lower()
         if "tpu" not in pname and "device" not in pname:
             continue
         for line in plane.lines:
             lname = line.name.lower()
-            # keep compute lanes; skip host threads and derived lines
             if any(k in lname for k in ("step", "framework", "source",
-                                        "module", "host")):
+                                        "host")):
                 continue
-            lanes += 1
+            tot = sum(ev.duration_ns for ev in line.events)
+            print(f"lane '{line.name}': {tot * ms / chunk:.2f} ms/frame",
+                  flush=True)
+            # the op table uses ONLY the "XLA Ops" self-time lane; the
+            # Modules lane is the wall clock, async-copy lanes overlap
+            # compute and must not be summed in
+            if "xla ops" not in lname:
+                continue
             for ev in line.events:
                 total_by_op[ev.name] += ev.duration_ns
-    ms = 1e-6
     grand = sum(total_by_op.values())
-    print(f"device lanes: {lanes}; total device-op time "
-          f"{grand * ms:.1f} ms over {chunk} frames "
+    print(f"XLA-Ops lane total {grand * ms:.1f} ms over {chunk} frames "
           f"({grand * ms / chunk:.2f} ms/frame)")
     print(f"{'op':72s} {'ms/frame':>9s} {'%':>6s}")
     for name, ns in total_by_op.most_common(top):

@@ -1,11 +1,21 @@
 """Validate the renderer against the reference's own published image
-(/root/reference/Doc/Images/rnl_dragon.png — dragon + rnl probe at the
-default camera, RayTracedGGX.cpp:37-39/261-278).
+(/root/reference/Doc/Images/rnl_dragon.png — dragon + rnl probe,
+RayTracedGGX.cpp:37-39/261-278).
 
-The screenshot's animation angle is unknown (16 deg/s free-running,
-RayTracer.cpp:270-272), so stage 1 sweeps the angle at low resolution for
-the best SSIM, stage 2 renders that angle at 1280x720 with a converged TAA
-history and records the final SSIM + artifacts under docs/validation/.
+Unknowns recovered by search:
+- animation angle (16 deg/s free-running, RayTracer.cpp:270-272);
+- CAMERA: the app supports mouse orbit around the focus point at
+  constant distance plus wheel zoom (RayTracedGGX.cpp:401-455), so the
+  screenshot's camera is an unknown (yaw, pitch, dist) orbit of
+  focus (0, 3, 0) — round 2 searched only the angle and plateaued at
+  SSIM 0.68 with a visibly mis-scaled ground plate;
+- ground plate scale: the current source says 8 (RayTracer.cpp:192) but
+  the published image may predate it, so {8, 10} are both probed.
+
+Stage 1 sweeps the angle at the default camera, stage 2 runs coordinate
+descent over (angle, yaw, pitch, dist) per ground scale, stage 3 renders
+the winner at 1280x720 with a converged TAA history and records metrics
++ artifacts under docs/validation/.
 
 Run on TPU: python scripts/validate_reference.py
 """
@@ -37,11 +47,18 @@ def load_ref():
 
 _RENDERERS = {}
 
+# default orbit parameters of eye (10, 10, -24) about focus (0, 3, 0)
+FOCUS = np.array([0.0, 3.0, 0.0], np.float32)
+DIST0 = float(np.linalg.norm([10.0, 7.0, -24.0]))          # 26.93
+PITCH0 = float(np.arcsin(7.0 / DIST0))                     # 0.263
+YAW0 = float(np.arctan2(10.0, -24.0))                      # 2.747
 
-def _renderer(w, h):
-    """One Renderer per resolution: re-tracing the frame program for all
-    31 sweep angles would dominate the sweep's wall time."""
-    key = (w, h)
+
+def _renderer(w, h, gs=8.0):
+    """One Renderer per (resolution, ground scale): the camera is a
+    RUNTIME input (Renderer.step(cam=...)), so every orbit probe reuses
+    the same compiled frame program."""
+    key = (w, h, gs)
     if key not in _RENDERERS:
         from raytracedggx_tpu.engine import Renderer, RenderConfig
         from raytracedggx_tpu.io.dds import load_cubemap_env
@@ -49,15 +66,33 @@ def _renderer(w, h):
 
         env = load_cubemap_env("/root/reference/Bin/Assets/rnl_cross.dds")
         scene = Scene.create("/root/reference/Bin/Assets/dragon.obj")
+        scene.ground_scale = gs
         _RENDERERS[key] = Renderer(scene, env=env,
                                    config=RenderConfig(width=w, height=h))
     return _RENDERERS[key]
 
 
-def render(angle, w, h, frames=24):
+def cam_arrays(w, h, yaw, pitch, dist):
+    """(view_proj, proj_to_world, eye) for an orbit camera: eye on the
+    sphere of radius `dist` about the focus point, up = +Y (the
+    reference's view-space drags keep roll ~0 for simple orbits)."""
     import jax.numpy as jnp
 
-    r = _renderer(w, h)
+    from raytracedggx_tpu.scene.camera import Camera
+    from raytracedggx_tpu.utils import math3d as m3
+
+    u = np.array([np.cos(pitch) * np.sin(yaw), np.sin(pitch),
+                  np.cos(pitch) * np.cos(yaw)], np.float32)
+    eye = FOCUS + dist * u
+    cam = Camera(width=w, height=h, eye=eye)
+    vp = jnp.asarray(cam.view_proj())
+    return (vp, m3.inverse(vp), jnp.asarray(eye, jnp.float32))
+
+
+def render(angle, w, h, frames=24, cam=None, gs=8.0):
+    import jax.numpy as jnp
+
+    r = _renderer(w, h, gs)
     state = r.init_state()
     # park the model at the target angle, then accumulate TAA with dt=0
     # (pause semantics: jitter advances, animation does not —
@@ -65,7 +100,7 @@ def render(angle, w, h, frames=24):
     state = state._replace(angle=jnp.float32(angle))
     frame = None
     for _ in range(frames):
-        state, frame, _ = r.step(state, dt=0.0)
+        state, frame, _ = r.step(state, dt=0.0, cam=cam)
     return np.clip(np.asarray(frame), 0.0, 1.0)
 
 
@@ -97,13 +132,59 @@ def main():
     print(f"sweep took {time.time() - t0:.0f}s; best angle {best[1]:.3f} "
           f"(ssim {best[0]:.4f})", flush=True)
 
-    # stage 2: full-res render at the best angle
-    img = render(best[1], 1280, 720, frames=32)
+    # stage 2: coordinate descent over (angle, yaw, pitch, dist) per
+    # ground scale — the published screenshot's camera is an unknown
+    # mouse orbit (RayTracedGGX.cpp:401-455)
+    def evaluate(p, gs):
+        cam = cam_arrays(320, 180, p[1], p[2], p[3])
+        img = render(p[0], 320, 180, frames=12, cam=cam, gs=gs)
+        return ssim(img, ref_small)
+
+    results = {}
+    for gs in (8.0, 10.0):
+        p = [best[1], YAW0, PITCH0, DIST0]
+        steps = [0.06, 0.05, 0.04, 1.5]
+        s_best = evaluate(p, gs)
+        t1 = time.time()
+        for it in range(6):
+            improved = False
+            for i in range(4):
+                for sgn in (1.0, -1.0):
+                    q = list(p)
+                    q[i] += sgn * steps[i]
+                    s = evaluate(q, gs)
+                    if s > s_best:
+                        s_best, p, improved = s, q, True
+                        break
+            if not improved:
+                steps = [st * 0.5 for st in steps]
+            print(f"gs={gs} iter {it}: ssim {s_best:.4f} p="
+                  f"[{p[0]:.3f}, {p[1]:.3f}, {p[2]:.3f}, {p[3]:.2f}] "
+                  f"({time.time() - t1:.0f}s)", flush=True)
+        results[gs] = (s_best, p)
+    gs = max(results, key=lambda g: results[g][0])
+    s_low, p = results[gs]
+    print(f"winner: gs={gs} ssim {s_low:.4f} angle={p[0]:.4f} "
+          f"yaw={p[1]:.4f} pitch={p[2]:.4f} dist={p[3]:.3f}", flush=True)
+
+    # stage 3: full-res render at the winning configuration
+    cam = cam_arrays(1280, 720, p[1], p[2], p[3])
+    img = render(p[0], 1280, 720, frames=32, cam=cam, gs=gs)
     s_full = ssim(img, ref)
     s_half = ssim(downsample(img, 2), downsample(ref, 2))
     write_png(os.path.join(OUT_DIR, "rnl_dragon_tpu.png"), img)
-    metrics = dict(angle=best[1], ssim_720p=round(s_full, 4),
+    # CI gate baseline: the 320x180 SSIM at the winning configuration.
+    # tests/test_reference_image.py re-renders this exact configuration
+    # on CPU and asserts SSIM >= ssim_gate - margin, so kernel rewrites
+    # that drift the image fail CI (VERDICT r2 item 5).
+    img_lo = render(p[0], 320, 180, frames=12,
+                    cam=cam_arrays(320, 180, p[1], p[2], p[3]), gs=gs)
+    s_gate = ssim(img_lo, ref_small)
+
+    metrics = dict(angle=p[0], yaw=p[1], pitch=p[2], dist=p[3],
+                   ground_scale=gs, ssim_720p=round(s_full, 4),
                    ssim_360p=round(s_half, 4),
+                   ssim_gate_320=round(float(s_gate), 4),
                    mean_abs=round(float(np.abs(img - ref).mean()), 5))
     with open(os.path.join(OUT_DIR, "rnl_dragon_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
