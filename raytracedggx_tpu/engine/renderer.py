@@ -67,6 +67,9 @@ class RenderConfig:
                                     # lean stream: measured TPU winner,
                                     # scripts/kbench.py round 3)
     sort_secondary: bool = True     # morton+octant sort for bounce waves
+    sort_dir_bits: int = 3          # direction-class bits in the bounce
+                                    # sort key (3 = octant; 6 = ~30 deg
+                                    # cones — A/B knob, traverse_pallas)
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
@@ -372,6 +375,7 @@ class Renderer:
                                              self.traversal in
                                              ("pallas", "wide", "pallas4")),
                              secondary_bucket=cfg.secondary_bucket,
+                             sort_dir_bits=cfg.sort_dir_bits,
                              dbg_no_refl_trace=cfg.dbg_no_refl_trace,
                              dbg_no_secondary_shade=(
                                  cfg.dbg_no_secondary_shade),

@@ -325,7 +325,7 @@ def make_block_order(width: int, height: int):
 
 def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None,
                      block: int | None = None,
-                     with_inverse: bool = True):
+                     with_inverse: bool = True, dir_bits: int = 3):
     """Sort key for incoherent secondary waves: dead rays last (so they
     compact into tiles that terminate after the root test), then direction
     octant (3 bits), then Morton of the origin — groups live rays into
@@ -343,9 +343,21 @@ def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None,
     octant = ((ray_d[:, 0] >= 0).astype(jnp.uint32)
               | ((ray_d[:, 1] >= 0).astype(jnp.uint32) << 1)
               | ((ray_d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    if dir_bits == 6:
+        # 64 direction classes: signs + axis-magnitude ordering (~30 deg
+        # cones) — finer direction coherence per tile at the price of
+        # wider origin spread (A/B knob; 3 is the measured default)
+        ax, ay, az = (jnp.abs(ray_d[:, 0]), jnp.abs(ray_d[:, 1]),
+                      jnp.abs(ray_d[:, 2]))
+        octant = (octant
+                  | ((ax > az).astype(jnp.uint32) << 3)
+                  | ((ay > az).astype(jnp.uint32) << 4)
+                  | ((ax > ay).astype(jnp.uint32) << 5))
     code = morton3d(ray_o, scene_lo, scene_hi)
-    # single 32-bit key (no x64): 1 dead bit + 3 octant bits + 28 Morton
-    key = (octant << jnp.uint32(28)) | (code >> jnp.uint32(2))
+    # single 32-bit key (no x64): 1 dead bit + dir class + Morton prefix
+    # (morton3d emits 30 bits; keep the top 31 - dir_bits of them)
+    key = (octant << jnp.uint32(31 - dir_bits)) \
+        | (code >> jnp.uint32(dir_bits - 1))
     if active is not None:
         key = jnp.where(active, key, key | jnp.uint32(1 << 31))
     R = key.shape[0]

@@ -93,15 +93,27 @@ def render(angle, w, h, frames=24, cam=None, gs=8.0):
     import jax.numpy as jnp
 
     r = _renderer(w, h, gs)
-    state = r.init_state()
-    # park the model at the target angle, then accumulate TAA with dt=0
-    # (pause semantics: jitter advances, animation does not —
-    # RayTracedGGX.cpp:290-292)
-    state = state._replace(angle=jnp.float32(angle))
-    frame = None
-    for _ in range(frames):
-        state, frame, _ = r.step(state, dt=0.0, cam=cam)
-    return np.clip(np.asarray(frame), 0.0, 1.0)
+
+    def run():
+        state = r.init_state()
+        # park the model at the target angle, then accumulate TAA with
+        # dt=0 (pause semantics: jitter advances, animation does not —
+        # RayTracedGGX.cpp:290-292)
+        state = state._replace(angle=jnp.float32(angle))
+        frame = None
+        for _ in range(frames):
+            state, frame, _ = r.step(state, dt=0.0, cam=cam)
+        return np.clip(np.asarray(frame), 0.0, 1.0)
+
+    # the tunneled remote-compile endpoint drops bodies occasionally;
+    # one retry rides out the transient
+    try:
+        return run()
+    except Exception as e:  # noqa: BLE001
+        print(f"render retry after: {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+        time.sleep(10.0)
+        return run()
 
 
 def main():
@@ -111,26 +123,29 @@ def main():
     ref = load_ref()
     os.makedirs(OUT_DIR, exist_ok=True)
 
-    # stage 1: coarse angle sweep at 320x180
+    # stage 1: coarse angle sweep at 320x180.  Skippable:
+    #   validate_reference.py <angle>                      (skip 1+1b)
+    #   validate_reference.py <angle> <yaw> <pitch> <dist> (seed descent)
     ref_small = downsample(ref, 4)
     t0 = time.time()
-    best = (-1.0, 0.0)
-    coarse = np.arange(0.0, 2 * np.pi, np.pi / 12)
-    for ang in coarse:
-        img = render(ang, 320, 180, frames=12)
-        s = ssim(img, ref_small)
-        print(f"angle {ang:5.2f} rad: ssim {s:.4f}", flush=True)
-        if s > best[0]:
-            best = (s, ang)
-    # stage 1b: refine +-7.5 deg around the winner
-    for ang in best[1] + np.linspace(-np.pi / 24, np.pi / 24, 7):
-        img = render(float(ang), 320, 180, frames=12)
-        s = ssim(img, ref_small)
-        print(f"refine {ang:5.3f} rad: ssim {s:.4f}", flush=True)
-        if s > best[0]:
-            best = (s, float(ang))
-    print(f"sweep took {time.time() - t0:.0f}s; best angle {best[1]:.3f} "
-          f"(ssim {best[0]:.4f})", flush=True)
+    seed = [float(v) for v in sys.argv[1:]]
+    best = (-1.0, seed[0] if seed else 0.0)
+    if not seed:
+        for ang in np.arange(0.0, 2 * np.pi, np.pi / 12):
+            img = render(ang, 320, 180, frames=12)
+            s = ssim(img, ref_small)
+            print(f"angle {ang:5.2f} rad: ssim {s:.4f}", flush=True)
+            if s > best[0]:
+                best = (s, ang)
+        # stage 1b: refine +-7.5 deg around the winner
+        for ang in best[1] + np.linspace(-np.pi / 24, np.pi / 24, 7):
+            img = render(float(ang), 320, 180, frames=12)
+            s = ssim(img, ref_small)
+            print(f"refine {ang:5.3f} rad: ssim {s:.4f}", flush=True)
+            if s > best[0]:
+                best = (s, float(ang))
+        print(f"sweep took {time.time() - t0:.0f}s; best angle "
+              f"{best[1]:.3f} (ssim {best[0]:.4f})", flush=True)
 
     # stage 2: coordinate descent over (angle, yaw, pitch, dist) per
     # ground scale — the published screenshot's camera is an unknown
@@ -142,11 +157,12 @@ def main():
 
     results = {}
     for gs in (8.0, 10.0):
-        p = [best[1], YAW0, PITCH0, DIST0]
+        p = (list(seed) if len(seed) == 4
+             else [best[1], YAW0, PITCH0, DIST0])
         steps = [0.06, 0.05, 0.04, 1.5]
         s_best = evaluate(p, gs)
         t1 = time.time()
-        for it in range(6):
+        for it in range(24):
             improved = False
             for i in range(4):
                 for sgn in (1.0, -1.0):
@@ -158,6 +174,8 @@ def main():
                         break
             if not improved:
                 steps = [st * 0.5 for st in steps]
+                if max(steps) < 0.004:
+                    break
             print(f"gs={gs} iter {it}: ssim {s_best:.4f} p="
                   f"[{p[0]:.3f}, {p[1]:.3f}, {p[2]:.3f}, {p[3]:.2f}] "
                   f"({time.time() - t1:.0f}s)", flush=True)
