@@ -98,11 +98,13 @@ def build_records4_padded(bvh, leaf_size: int = 8, compact: bool = True):
     L = leaf_size
 
     counts = np.ones(2 * n - 1, np.int64)
-    for _ in range(64):
+    for _ in range(4096):      # fixed point after `depth` rounds
         new = counts[left] + counts[right]
         if np.array_equal(new, counts[:n_int]):
             break
         counts[:n_int] = new
+    else:
+        raise ValueError("BVH deeper than 4096 — malformed tree?")
 
     def leaves_of(node):
         out = []
@@ -211,7 +213,7 @@ def compaction_stats(records, tri_stream, leaf_size: int):
                 stream_bytes=slots * 9 * 4)
 
 
-def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
+def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
                       *refs, t_min, L, RW, TILE_S, lean):
     """Instanced variant: shared OBJECT-space mesh subtrees entered via
     tagged instance nodes (the reference TopLevelAS semantics,
@@ -249,16 +251,16 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
         lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
 
-    # live-ray mid scalars (world space; transformed per pop for keys)
-    live = tmax0 >= 0.0
-    big = jnp.float32(3e38)
-
-    def mid(v):
-        return (jnp.min(jnp.where(live, v, big))
-                + jnp.max(jnp.where(live, v, -big))) * 0.5
-
-    wm_ox, wm_oy, wm_oz = mid(wox), mid(woy), mid(woz)
-    wm_dx, wm_dy, wm_dz = mid(wdx), mid(wdy), mid(wdz)
+    # live-ray mid scalars (world space; transformed per pop for keys).
+    # Computed OUTSIDE the kernel (one fused XLA pass over all tiles) and
+    # passed via SMEM: the in-kernel version was 12 full-tile masked
+    # reductions in the prologue — measured ~3 us/tile of launch floor
+    # (scripts/kbench.py alldead, round 3).  The whole (G, 8) table lives
+    # in SMEM unblocked (blocked SMEM specs need lane-aligned shapes);
+    # each program reads its own row.
+    g = pl.program_id(0)
+    wm_ox, wm_oy, wm_oz = mids_ref[g, 0], mids_ref[g, 1], mids_ref[g, 2]
+    wm_dx, wm_dy, wm_dz = mids_ref[g, 3], mids_ref[g, 4], mids_ref[g, 5]
 
     def ray_state(tag):
         """Transform the tile's world rays into the tag's object space
@@ -500,6 +502,15 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
                            axis=1)
 
+    # per-tile live mid-ray scalars for the ordered-descent keys,
+    # computed here in ONE fused pass instead of 12 in-kernel reductions
+    # per tile (the bulk of the ~3 us/tile launch floor)
+    live = rays[:, 6:7] >= 0.0
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(live, rays[:, :6], big), axis=(2, 3))
+    hi = jnp.max(jnp.where(live, rays[:, :6], -big), axis=(2, 3))
+    mids = jnp.pad((lo + hi) * 0.5, ((0, 0), (0, 2)))      # (G, 8)
+
     tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
                                      lambda g: (g, 0, 0),
                                      memory_space=pltpu.VMEM)
@@ -525,12 +536,13 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
             pl.BlockSpec((1, 7, tile_s, TILE_L),
                          lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
-    )(nodes, tris, rays, inv_mats)
+    )(nodes, tris, rays, inv_mats, mids)
 
     def fl(x):
         return x.reshape(G * TILE)[:R]

@@ -90,7 +90,8 @@ def _instance_tree(num_inst: int):
 
 
 def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
-                     worlds=None, lean: bool = True) -> SceneWideBVH:
+                     worlds=None, lean: bool = True,
+                     builder: str = "sah") -> SceneWideBVH:
     """geom: SceneGeometry (per-mesh LBVH built); mesh_ids: instance ->
     mesh index.  All topology + object-space geometry is host-built once;
     refit_scene_wide(sw, worlds) fills instance world boxes + inverse
@@ -107,7 +108,20 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
     assert num_inst < (1 << 11), "instance tag field is 11 bits"
 
     mesh_set = sorted(set(mesh_ids))
-    mesh_recs = {m: build_records4_padded(geom.blas[m], L)
+
+    def mesh_tree(m):
+        """Static object-space subtree: binned-SAH host build by default
+        (bvh/sah.py — ~1.5-2x fewer node+leaf visits than Morton LBVH on
+        incoherent bounce waves); builder="lbvh" reuses the on-device
+        Karras tree (geom.blas) for A/B."""
+        if builder == "sah":
+            from ..bvh.sah import build_sah
+            g = geom.meshes[m]
+            return build_sah(np.asarray(g.positions), np.asarray(g.tri),
+                             chain_cutoff=L)
+        return geom.blas[m]
+
+    mesh_recs = {m: build_records4_padded(mesh_tree(m), L)
                  for m in mesh_set}
 
     top_records = _instance_tree(num_inst)

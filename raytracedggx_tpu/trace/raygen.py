@@ -221,11 +221,19 @@ def _trace_shade_bucketed_fused(trace_fused, shade_fn, env, o, d, t_min,
     # Row-major miss radiance.  Only DEAD lanes ever read it (live lanes
     # are overwritten by the bucket scatter), and the only dead lanes
     # whose radiance survives downstream are sky pixels, where
-    # trace_dir == the primary ray_d bitwise — so the caller may pass
-    # one shared sample_env(ray_d) for all secondary waves instead of
-    # paying the R-row gather per wave.
-    env_all = (miss_all if miss_all is not None
-               else sample_env(env, d, miss_lod))
+    # trace_dir == the primary ray_d bitwise.  When the env probe has a
+    # packed-quad table and the miss LOD is 0 (the reference semantics,
+    # missMain RayTracing.hlsl:619-625), the miss lookup FUSES into the
+    # bucket un-permute: one combined R-row gather over
+    # [bucket results | env quad rows] replaces the two separate R-row
+    # gathers (~4 ms @720p — gathers cost ~6 ns/row, width-free).
+    fuse_miss = (env.quad is not None
+                 and isinstance(miss_lod, (int, float))
+                 and float(miss_lod) == 0.0)
+    env_all = None
+    if not fuse_miss:
+        env_all = (miss_all if miss_all is not None
+                   else sample_env(env, d, miss_lod))
     live = jnp.sum((tm > 0.0).astype(jnp.int32))
 
     def bucket_path(_):
@@ -241,14 +249,47 @@ def _trace_shade_bucketed_fused(trace_fused, shade_fn, env, o, d, t_min,
         # gather per row — round-3 trace: the .at[idx].set form was
         # 14 ms/frame): invert the permutation with a second argsort
         # (~1.2 ms) and fetch each row's bucket result with one gather,
-        # falling back to the row-major miss radiance outside the bucket
+        # falling back to the miss radiance outside the bucket
         inv_p = jnp.argsort(order)
+        in_b = inv_p < bucket
+        if fuse_miss:
+            # combined table: rows [0, bucket) = this wave's results
+            # [rad.xyz hit 0*8], rows [bucket, ...) = env quad texels.
+            # Rows outside the bucket gather their miss footprint and
+            # bilinear-mix it; bucket rows force weights (1,0,0,0) so the
+            # same mix returns rad verbatim (col 3 = hit flag rides the
+            # zero-weight c10 slot).
+            from .env import dir_to_face_uv
+            brow = jnp.concatenate(
+                [rad_k, rec.hit[..., None].astype(jnp.float32),
+                 jnp.zeros((bucket, 8), jnp.float32)], axis=-1)
+            tbl = jnp.concatenate([brow, env.quad], axis=0)
+            face, uu, vv = dir_to_face_uv(d)
+            s = env.sizes[0]
+            sf = s.astype(jnp.float32)
+            x = jnp.clip(uu * sf - 0.5, 0.0, sf - 1.0)
+            y = jnp.clip(vv * sf - 0.5, 0.0, sf - 1.0)
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            eidx = (env.offsets[0]
+                    + (face * s + y0.astype(jnp.int32)) * s
+                    + x0.astype(jnp.int32))
+            gidx = jnp.where(in_b, jnp.minimum(inv_p, bucket - 1),
+                             bucket + eidx)
+            q = jax.lax.optimization_barrier(tbl[gidx])
+            fx = jnp.where(in_b, 0.0, x - x0)[..., None]
+            fy = jnp.where(in_b, 0.0, y - y0)[..., None]
+            rad = (q[:, 0:3] * (1 - fx) * (1 - fy)
+                   + q[:, 3:6] * fx * (1 - fy)
+                   + q[:, 6:9] * (1 - fx) * fy
+                   + q[:, 9:12] * fx * fy)
+            hit = in_b & (q[:, 3] > 0.5)
+            return rad, hit
         back = jnp.concatenate(
             [rad_k, rec.hit[..., None].astype(jnp.float32)], axis=-1
         )[jnp.minimum(inv_p, bucket - 1)]
-        in_b = (inv_p < bucket)[..., None]
-        rad = jnp.where(in_b, back[:, 0:3], env_all)
-        hit = in_b[..., 0] & (back[:, 3] > 0.5)
+        rad = jnp.where(in_b[..., None], back[:, 0:3], env_all)
+        hit = in_b & (back[:, 3] > 0.5)
         return rad, hit
 
     def full_path(_):
@@ -590,8 +631,15 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                                     with_inverse=not use_bucket)
         if use_bucket:
             # one shared row-major miss lookup: sky lanes (the only dead
-            # lanes whose radiance survives) have trace_dir == ray_d
-            miss_all = sample_env(env, surf["ray_d"], dbg_miss_lod)
+            # lanes whose radiance survives) have trace_dir == ray_d.
+            # With a quad-packed env at LOD 0 the miss lookup fuses into
+            # the bucket un-permute instead (see
+            # _trace_shade_bucketed_fused) — don't materialize it here
+            # (a lax.cond operand is computed even when the live-diffuse
+            # branch never runs).
+            miss_all = None
+            if not (env.quad is not None and float(dbg_miss_lod) == 0.0):
+                miss_all = sample_env(env, surf["ray_d"], dbg_miss_lod)
             radiance_r, hit_r = _trace_shade_bucketed_fused(
                 trace_fused, shade_r, env, p, trace_dir,
                 T_MIN_SECONDARY, tmax_r, sec_order, bucket,

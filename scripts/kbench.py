@@ -126,9 +126,10 @@ def main():
           flush=True)
     nodes_flat = nodes_flat_for_smem(sw)
     sw16 = None
+    sw16_lbvh = None
 
     def variant(name, **kw):
-        nonlocal sw16
+        nonlocal sw16, sw16_lbvh
         if only and name not in only:
             return
         s = sw
@@ -138,6 +139,13 @@ def main():
                 sw16 = build_scene_wide(geom, scene.mesh_ids,
                                         leaf_size=16, lean=False)
             s = sw16
+            L = 16
+        if kw.pop("lbvh16", False):
+            if sw16_lbvh is None:
+                sw16_lbvh = build_scene_wide(geom, scene.mesh_ids,
+                                             leaf_size=16, lean=False,
+                                             builder="lbvh")
+            s = sw16_lbvh
             L = 16
         smem = kw.pop("smem_nodes", False)
         nodes = nodes_flat_for_smem(s) if smem else s.nodes
@@ -199,6 +207,8 @@ def main():
     variant("lean", lean=True)
     variant("l16", l16=True)
     variant("lean_l16", lean=True, l16=True)
+    variant("lbvh_lean16", lean=True, lbvh16=True)
+    variant("stats_lbvh16", stats=True, lbvh16=True)
     variant("smem_l16", smem_nodes=True, l16=True)
     variant("lean_smem_l16", lean=True, smem_nodes=True, l16=True)
     variant("stats_l16", stats=True, l16=True)
