@@ -63,9 +63,13 @@ class RenderConfig:
     traversal: str = "auto"         # "auto" | "wide" | "pallas4" |
                                     # "pallas" | "jax"
     leaf_size: int = 8              # FlatBVH leaf collapse for Pallas
-    wide_leaf_size: int = 16        # scene-wide kernel leaf size (L16 +
-                                    # lean stream: measured TPU winner,
-                                    # scripts/kbench.py round 3)
+    wide_leaf_size: int = 64        # scene-wide kernel leaf size.  Under
+                                    # the binned-SAH subtree builder big
+                                    # leaves win: L64 beats L16 by ~15%
+                                    # on both waves (fewer pops amortize
+                                    # the per-iteration fixed cost; SAH
+                                    # keeps the unions tight) — kbench
+                                    # L8/16/32/64/128 sweep, round 3
     sort_secondary: bool = True     # morton+octant sort for bounce waves
     sort_dir_bits: int = 3          # direction-class bits in the bounce
                                     # sort key (3 = octant; 6 = ~30 deg

@@ -15,6 +15,14 @@ Variants (static python flags on `_lab_kernel`):
                 more vector work
   ordered     — near-first ordered descent on/off (prices the scalar
                 mid-ray keys + sorting network)
+  recip       — leaf Moller-Trumbore uses pl.reciprocal(approx) + one
+                Newton step instead of the full-precision divide (the
+                divide runs 16x per leaf visit on the VPU's slow path)
+  fold        — octant-folded slab tests: tiles whose LIVE rays share
+                direction signs on all 3 axes (per instance tag,
+                precomputed outside and passed via SMEM) take a branch
+                with sign-selected near/far bounds — 12 mul/sub instead
+                of 12 mul/sub + 12 min/max per box
 
 Layout contracts are identical to ops/fused.py (instanced scene-wide
 columns from ops/scene_wide.build_scene_wide).
@@ -33,11 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_L = 128
 
 
-def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
+def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
                 t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
                 stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
                 stats: bool, smem_nodes: bool, npop: int, ordered: bool,
-                lean: bool = False):
+                lean: bool = False, recip: bool = False,
+                fold: bool = False, slim: bool = False):
     wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -99,7 +108,15 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
             det = e1x * px + e1y * py + e1z * pz
-            inv_det = 1.0 / det
+            if recip:
+                # approx reciprocal + one Newton step ~= fp32 exact
+                # (error ~2^-28); det=0 -> r0=inf -> 2-det*r0=NaN ->
+                # inv=NaN -> ok False; padding-NaN propagates the same
+                # way as with the divide
+                r0 = pl.reciprocal(det, approx=True)
+                inv_det = r0 * (2.0 - det * r0)
+            else:
+                inv_det = 1.0 / det
             tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
             u = (tx * px + ty * py + tz * pz) * inv_det
             qx = ty * e1z - tz * e1y
@@ -110,8 +127,12 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
             ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= t_min) & (t <= bt))
             bt = jnp.where(ok, t, bt)
-            bu = jnp.where(ok, u, bu)
-            bv = jnp.where(ok, v, bv)
+            if not slim:
+                # slim mode: u,v of the winner are NOT tracked in-kernel
+                # (2 fewer vector selects per tri); the caller recomputes
+                # them from the winner's stream slot in one XLA fusion
+                bu = jnp.where(ok, u, bu)
+                bv = jnp.where(ok, v, bv)
             if lean:
                 # lean layout [geom 9L | prim L]: normals are NOT in the
                 # stream; the caller reconstructs the winner's normal with
@@ -147,27 +168,68 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
             colv = fetch(nodes_ref, idx, 36)
             col = [colv[r] for r in range(36)]
 
-        hits = []
-        for k in range(4):
-            o = k * 6
-            t0x = (col[o + 0] - ox) * ix
-            t1x = (col[o + 3] - ox) * ix
-            t0y = (col[o + 1] - oy) * iy
-            t1y = (col[o + 4] - oy) * iy
-            t0z = (col[o + 2] - oz) * iz
-            t1z = (col[o + 5] - oz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.maximum(t0z, t1z))
-            hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+        def pack(hits):
+            c01 = jnp.sum(hits[0].astype(jnp.int32)
+                          + (hits[1].astype(jnp.int32) << 16))
+            c23 = jnp.sum(hits[2].astype(jnp.int32)
+                          + (hits[3].astype(jnp.int32) << 16))
+            return c01, c23
 
-        c01 = jnp.sum(hits[0].astype(jnp.int32)
-                      + (hits[1].astype(jnp.int32) << 16))
-        c23 = jnp.sum(hits[2].astype(jnp.int32)
-                      + (hits[3].astype(jnp.int32) << 16))
+        def slab_generic(_):
+            hits = []
+            for k in range(4):
+                o = k * 6
+                t0x = (col[o + 0] - ox) * ix
+                t1x = (col[o + 3] - ox) * ix
+                t0y = (col[o + 1] - oy) * iy
+                t1y = (col[o + 4] - oy) * iy
+                t0z = (col[o + 2] - oz) * iz
+                t1z = (col[o + 5] - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+            return pack(hits)
+
+        if fold:
+            # per-(tile, tag) SMEM flags: [can_fold, sx, sy, sz] — the
+            # tile's LIVE rays share direction signs on all 3 axes in
+            # this tag's object space, so near/far bounds are a scalar
+            # sign-select and the 12 vector min/max per box fold away.
+            # The cond returns the two packed int32 SCALAR counts (the
+            # bool-vector tuple return tripped Mosaic's compile helper).
+            g = pl.program_id(0)
+            fbase = tag * 4
+            can_fold = fold_ref[g, fbase] > 0
+            sx = fold_ref[g, fbase + 1] > 0
+            sy = fold_ref[g, fbase + 2] > 0
+            sz = fold_ref[g, fbase + 3] > 0
+
+            def slab_folded(_):
+                hits = []
+                for k in range(4):
+                    o = k * 6
+                    nbx = jnp.where(sx, col[o + 0], col[o + 3])
+                    fbx = jnp.where(sx, col[o + 3], col[o + 0])
+                    nby = jnp.where(sy, col[o + 1], col[o + 4])
+                    fby = jnp.where(sy, col[o + 4], col[o + 1])
+                    nbz = jnp.where(sz, col[o + 2], col[o + 5])
+                    fbz = jnp.where(sz, col[o + 5], col[o + 2])
+                    tn = jnp.maximum(jnp.maximum((nbx - ox) * ix,
+                                                 (nby - oy) * iy),
+                                     (nbz - oz) * iz)
+                    tf = jnp.minimum(jnp.minimum((fbx - ox) * ix,
+                                                 (fby - oy) * iy),
+                                     (fbz - oz) * iz)
+                    hits.append((tn <= tf) & (tf >= t_min) & (tn <= bt))
+                return pack(hits)
+
+            c01, c23 = lax.cond(can_fold, slab_folded, slab_generic, 0)
+        else:
+            c01, c23 = slab_generic(0)
         hk = (((c01 & 0xFFFF) > 0) & valid, ((c01 >> 16) > 0) & valid,
               ((c23 & 0xFFFF) > 0) & valid, ((c23 >> 16) > 0) & valid)
 
@@ -282,7 +344,7 @@ LEAF_BIT = 1 << 30       # stack entry: [30]=leaf [29:20]=tag [19:0]=addr
 
 
 def _ls_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
-               t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
+               fold_ref, t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
                stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
                stats: bool, smem_nodes: bool, ordered: bool, lean: bool):
     """Leaf-on-stack variant: every child (leaf or internal) is pushed as
@@ -539,7 +601,9 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                     stack: int = 128, tile_s: int = 8,
                     stats: bool = False, smem_nodes: bool = False,
                     npop: int = 2, ordered: bool = True,
-                    lean: bool = False, leaf_stack: bool = False):
+                    lean: bool = False, leaf_stack: bool = False,
+                    recip: bool = False, fold: bool = False,
+                    slim: bool = False):
     """Lab launcher mirroring ops/fused.trace_tiles_instanced, plus a
     (G, 2) int32 stats output (while-loop iterations, leaf visits per
     tile).  `nodes` must be the flat (Npad, 36) host-order array when
@@ -562,6 +626,29 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     rays = jnp.concatenate([to_tiles(ray_o), to_tiles(ray_d), tmax_t],
                            axis=1)
 
+    # per-(tile, tag) octant-fold flags [can_fold, sx, sy, sz]: the
+    # tile's live rays share direction signs on all 3 axes in that tag's
+    # object space (tag 0 = world).  One fused XLA pass, like the mids.
+    tags = inv_mats.shape[0]
+    if fold:
+        live = rays[:, 6:7, :, :] >= 0.0                    # (G,1,S,L)
+        d_t = rays[:, 3:6]                                  # (G,3,S,L)
+        m = inv_mats.reshape(tags, 4, 3)                    # rows of inv
+        # object dir per tag: od[g,tag,ax] = sum_j d[g,j] * m[tag,j,ax]
+        od = jnp.einsum("gjsl,tja->gtasl", d_t, m[:, :3, :])
+        big = jnp.float32(3e38)
+        lo = jnp.min(jnp.where(live[:, None], od, big), axis=(3, 4))
+        hi = jnp.max(jnp.where(live[:, None], od, -big), axis=(3, 4))
+        any_live = jnp.any(live, axis=(1, 2, 3))[:, None, None]
+        pos = lo >= 0.0
+        uni = (pos | (hi < 0.0)) & any_live                 # (G,tags,3)
+        can = jnp.all(uni, axis=-1, keepdims=True)
+        fold_tbl = jnp.concatenate(
+            [can, pos & can], axis=-1).astype(jnp.int32).reshape(
+                G, tags * 4)
+    else:
+        fold_tbl = jnp.zeros((G, tags * 4), jnp.int32)
+
     node_space = pltpu.SMEM if smem_nodes else pltpu.VMEM
     tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
                                      lambda g: (g, 0, 0),
@@ -575,7 +662,8 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
         kern = functools.partial(_lab_kernel, t_min=float(t_min), L=L,
                                  RW=RW, TILE_S=tile_s, stats=stats,
                                  smem_nodes=smem_nodes, npop=npop,
-                                 ordered=ordered, lean=lean)
+                                 ordered=ordered, lean=lean,
+                                 recip=recip, fold=fold, slim=slim)
     t, u, v, nrm, prim_f, inst_f, st = pl.pallas_call(
         kern,
         grid=(G,),
@@ -584,6 +672,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 7, tile_s, TILE_L),
                          lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[tile_spec(), tile_spec(), tile_spec(),
@@ -604,7 +693,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
         ],
         scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
-    )(nodes, tris, rays, inv_mats)
+    )(nodes, tris, rays, inv_mats, fold_tbl)
 
     def fl(x):
         return x.reshape(G * TILE)[:R]

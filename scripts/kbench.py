@@ -140,6 +140,24 @@ def main():
                                         leaf_size=16, lean=False)
             s = sw16
             L = 16
+        if kw.pop("l32", False):
+            if not hasattr(main, "sw32"):
+                main.sw32 = build_scene_wide(geom, scene.mesh_ids,
+                                             leaf_size=32, lean=False)
+            s = main.sw32
+            L = 32
+        if kw.pop("l64", False):
+            if not hasattr(main, "sw64"):
+                main.sw64 = build_scene_wide(geom, scene.mesh_ids,
+                                             leaf_size=64, lean=False)
+            s = main.sw64
+            L = 64
+        if kw.pop("l128", False):
+            if not hasattr(main, "sw128"):
+                main.sw128 = build_scene_wide(geom, scene.mesh_ids,
+                                              leaf_size=128, lean=False)
+            s = main.sw128
+            L = 128
         if kw.pop("lbvh16", False):
             if sw16_lbvh is None:
                 sw16_lbvh = build_scene_wide(geom, scene.mesh_ids,
@@ -212,6 +230,27 @@ def main():
     variant("smem_l16", smem_nodes=True, l16=True)
     variant("lean_smem_l16", lean=True, smem_nodes=True, l16=True)
     variant("stats_l16", stats=True, l16=True)
+    # tile-size re-sweep under the SAH tree (the fixed-cost/union balance
+    # shifts with tree quality; round-3 LBVH sweep said 8 was optimal)
+    variant("lean_l16_t2", lean=True, l16=True, tile_s=2)
+    variant("lean_l16_t4", lean=True, l16=True, tile_s=4)
+    variant("lean_l16_t16", lean=True, l16=True, tile_s=16)
+    variant("lean_l8", lean=True)            # SAH tree, leaf_size 8
+    variant("lean_l32", lean=True, l32=True)
+    variant("lean_l64", lean=True, l64=True)
+    variant("lean_l128", lean=True, l128=True)
+    variant("stats_l64", stats=True, l64=True)
+    variant("lean_l32_t16", lean=True, l32=True, tile_s=16)
+    variant("stats_l32", stats=True, l32=True)
+    variant("slim_l16", lean=True, l16=True, slim=True)
+    variant("recip_l16", lean=True, l16=True, recip=True)
+    variant("recip_l64", lean=True, l64=True, recip=True)
+    variant("slim_l64", lean=True, l64=True, slim=True)
+    variant("recip_slim_l64", lean=True, l64=True, recip=True, slim=True)
+    variant("recip_slim_l64_t16", lean=True, l64=True, recip=True,
+            slim=True, tile_s=16)
+    variant("fold_l16", lean=True, l16=True, fold=True)
+    variant("recip_fold_l16", lean=True, l16=True, recip=True, fold=True)
     variant("ls", leaf_stack=True)
     variant("ls_lean", leaf_stack=True, lean=True)
     variant("ls_lean_l16", leaf_stack=True, lean=True, l16=True)

@@ -69,16 +69,33 @@ def summarize(logdir, chunk, top=40):
             tot = sum(ev.duration_ns for ev in line.events)
             print(f"lane '{line.name}': {tot * ms / chunk:.2f} ms/frame",
                   flush=True)
-            # the op table uses ONLY the "XLA Ops" self-time lane; the
-            # Modules lane is the wall clock, async-copy lanes overlap
-            # compute and must not be summed in
+            # the op table uses ONLY the "XLA Ops" lane; events NEST
+            # (while/cond spans contain their children), so compute
+            # SELF time per event by subtracting contained child spans
+            # via an interval sweep — self-times are additive and sum
+            # to ~the Modules wall clock
             if "xla ops" not in lname:
                 continue
-            for ev in line.events:
-                total_by_op[ev.name] += ev.duration_ns
+            evs = sorted(((ev.start_ns, ev.end_ns, ev.name)
+                          for ev in line.events),
+                         key=lambda e: (e[0], -e[1]))
+            stack = []      # [start_ns, end_ns, name, child_ns]
+
+            def close(top):
+                dur = top[1] - top[0]
+                total_by_op[top[2]] += dur - top[3]
+                if stack:
+                    stack[-1][3] += dur
+
+            for s, e, name in evs:
+                while stack and stack[-1][1] <= s:
+                    close(stack.pop())
+                stack.append([s, e, name, 0])
+            while stack:
+                close(stack.pop())
     grand = sum(total_by_op.values())
-    print(f"XLA-Ops lane total {grand * ms:.1f} ms over {chunk} frames "
-          f"({grand * ms / chunk:.2f} ms/frame)")
+    print(f"XLA-Ops lane SELF-time total {grand * ms:.1f} ms over "
+          f"{chunk} frames ({grand * ms / chunk:.2f} ms/frame)")
     print(f"{'op':72s} {'ms/frame':>9s} {'%':>6s}")
     for name, ns in total_by_op.most_common(top):
         print(f"{name[:72]:72s} {ns * ms / chunk:9.3f} "
