@@ -77,7 +77,7 @@ class RenderConfig:
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
-    secondary_bucket: float = 0.375  # live-prefix fraction for secondary
+    secondary_bucket: float = 0.25  # live-prefix fraction for secondary
                                     # waves: trace/shade/permute only a
                                     # static bucket of the sorted wave
                                     # (dead rays sort last); lax.cond
