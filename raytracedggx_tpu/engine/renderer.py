@@ -329,9 +329,21 @@ class Renderer:
             flt_rfl = reflection_spatial_filter(
                 refl, normal, rough, depth, cfg.width, cfg.height,
                 impl=self.kernels, interpret=self.kernels_interpret)
-            flt_dff = diffuse_spatial_filter(
-                diff, flt_rfl, normal, metal, depth, impl=self.kernels,
-                interpret=self.kernels_interpret)
+            # The diffuse filter's per-pixel gate is hit & (metal < 1)
+            # (CSSpatial_H_Diff.hlsl:35); where the gate fails it passes
+            # filtered_refl through unchanged.  When NO pixel gates true
+            # (the reference's all-metallic materials), both H/V passes
+            # are an exact identity on flt_rfl — the same predicate that
+            # skips the diffuse wave (raygen) skips the filter dispatches
+            # (~2.5 ms/frame @720p)
+            any_diff = jnp.any((normal[..., 3] > 0.0) & (metal < 1.0))
+            flt_dff = jax.lax.cond(
+                any_diff,
+                lambda _: diffuse_spatial_filter(
+                    diff, flt_rfl, normal, metal, depth,
+                    impl=self.kernels,
+                    interpret=self.kernels_interpret),
+                lambda _: flt_rfl, None)
         else:
             # temporal-only config (BASELINE config 1): composite directly
             hit = normal[..., 3:4]

@@ -73,11 +73,20 @@ def summarize(logdir, chunk, top=40):
             # (while/cond spans contain their children), so compute
             # SELF time per event by subtracting contained child spans
             # via an interval sweep — self-times are additive and sum
-            # to ~the Modules wall clock
+            # to ~the Modules wall clock.  Async DMA spans (copy-start/
+            # slice-start/...-done) only PARTIALLY overlap compute ops
+            # (issue before, complete after), which breaks the nesting
+            # sweep and mis-attributes idle-looking time to them — and
+            # their real cost rides the (overlapped) DMA engines anyway
+            # (scripts/overlap_demo.py measures that).  Exclude them so
+            # the table is the COMPUTE budget.
             if "xla ops" not in lname:
                 continue
+            dma = ("copy-start", "copy-done", "slice-start", "slice-done",
+                   "send", "recv")
             evs = sorted(((ev.start_ns, ev.end_ns, ev.name)
-                          for ev in line.events),
+                          for ev in line.events
+                          if not ev.name.lstrip("%").startswith(dma)),
                          key=lambda e: (e[0], -e[1]))
             stack = []      # [start_ns, end_ns, name, child_ns]
 
