@@ -36,6 +36,14 @@ class EnvMap(NamedTuple):
     # (scripts/envbench.py: 8-gather trilinear 45 ms vs quad 12 ms at
     # 921k rays), so trading 4x memory for 4x fewer gathers wins big.
     quad: jnp.ndarray = None
+    # (N, 39) float32: [own 2x2 quad 12 | parent-mip 3x3 window 27].
+    # The parent 2x2 footprint of a trilinear sample is NOT determined
+    # by the child texel alone (an even child x0=2k straddles parent
+    # columns k-1/k), but it always lies inside the 3x3 window centered
+    # on column/row clip([k-1, k, k+1]) — so ONE gather + VPU selects
+    # replaces the trilinear's second mip gather (exact same taps and
+    # weights as the two-gather path).  Last mip's parent is itself.
+    tri: jnp.ndarray = None
 
 
 def pack_mips(mips: List[np.ndarray]) -> EnvMap:
@@ -44,8 +52,9 @@ def pack_mips(mips: List[np.ndarray]) -> EnvMap:
     sizes = []
     chunks = []
     quads = []
+    tris = []
     off = 0
-    for m in mips:
+    for mi, m in enumerate(mips):
         s = m.shape[1]
         assert m.shape == (6, s, s, 3)
         offsets.append(off)
@@ -53,9 +62,22 @@ def pack_mips(mips: List[np.ndarray]) -> EnvMap:
         m = np.asarray(m, np.float32)
         chunks.append(m.reshape(-1, 3))
         x1 = np.minimum(np.arange(s) + 1, s - 1)
-        quads.append(np.concatenate(
+        quad = np.concatenate(
             [m, m[:, :, x1], m[:, x1, :], m[:, x1][:, :, x1]],
-            axis=-1).reshape(-1, 12))
+            axis=-1).reshape(-1, 12)
+        quads.append(quad)
+        # parent-mip 3x3 window around (y0//2, x0//2) per texel
+        par = np.asarray(mips[min(mi + 1, len(mips) - 1)], np.float32)
+        s2 = par.shape[1]
+        k = np.arange(s) // 2                       # parent col of texel
+        win = []
+        for r in (-1, 0, 1):
+            yy = np.clip(k + r, 0, s2 - 1)
+            for c in (-1, 0, 1):
+                xx = np.clip(k + c, 0, s2 - 1)
+                win.append(par[:, yy][:, :, xx])    # (6, s, s, 3)
+        tris.append(np.concatenate([quad.reshape(6, s, s, 12)] + win,
+                                   axis=-1).reshape(-1, 39))
         off += 6 * s * s
     return EnvMap(
         data=jnp.asarray(np.concatenate(chunks, axis=0)),
@@ -63,6 +85,7 @@ def pack_mips(mips: List[np.ndarray]) -> EnvMap:
         sizes=jnp.asarray(sizes, jnp.int32),
         num_mips=len(mips),
         quad=jnp.asarray(np.concatenate(quads, axis=0)),
+        tri=jnp.asarray(np.concatenate(tris, axis=0)),
     )
 
 
@@ -168,10 +191,62 @@ def sample_env(env: EnvMap, d, level=0.0):
     level = jnp.clip(jnp.broadcast_to(jnp.asarray(level, jnp.float32),
                                       face.shape), 0.0, env.num_mips - 1.0)
     m0 = jnp.floor(level).astype(jnp.int32)
-    m1 = jnp.minimum(m0 + 1, env.num_mips - 1)
     f = (level - m0.astype(jnp.float32))[..., None]
+    if env.tri is not None:
+        return _trilinear_packed(env, m0, f, face, u, v)
+    m1 = jnp.minimum(m0 + 1, env.num_mips - 1)
     c0 = _bilinear(env, m0, face, u, v)
     c1 = _bilinear(env, m1, face, u, v)
+    return c0 * (1 - f) + c1 * f
+
+
+def _trilinear_packed(env: EnvMap, m0, f, face, u, v):
+    """Trilinear via ONE gather of the packed (N, 39) rows: the child
+    quad serves mip m0's bilinear; the parent 3x3 window serves mip
+    m0+1's, with the 2x2 footprint selected by where the parent sample
+    point falls relative to the window center.  Tap positions, clamps
+    and weights are identical to the two-gather _bilinear path."""
+    s = env.sizes[m0]
+    off = env.offsets[m0]
+    sf = s.astype(jnp.float32)
+    x = jnp.clip(u * sf - 0.5, 0.0, sf - 1.0)
+    y = jnp.clip(v * sf - 0.5, 0.0, sf - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    idx = off + (face * s + y0.astype(jnp.int32)) * s \
+        + x0.astype(jnp.int32)
+    row = env.tri[idx]
+    c0 = (row[..., 0:3] * (1 - fx) * (1 - fy)
+          + row[..., 3:6] * fx * (1 - fy)
+          + row[..., 6:9] * (1 - fx) * fy
+          + row[..., 9:12] * fx * fy)
+
+    # parent-mip bilinear from the 3x3 window.  The parent sample
+    # column px0 is k-1 or k (k = x0//2): weight vector over window
+    # columns [k-1, k, k+1] is [1-fxp, fxp, 0] or [0, 1-fxp, fxp].
+    s2 = jnp.maximum(jnp.floor(sf * 0.5), 1.0)     # sizes[m0+1]
+    px = jnp.clip(u * s2 - 0.5, 0.0, s2 - 1.0)
+    py = jnp.clip(v * s2 - 0.5, 0.0, s2 - 1.0)
+    px0 = jnp.floor(px)
+    py0 = jnp.floor(py)
+    fxp = px - px0
+    fyp = py - py0
+    lo_x = (px0 - jnp.floor(x0 * 0.5) + 1.0) < 0.5   # px0 == k-1
+    lo_y = (py0 - jnp.floor(y0 * 0.5) + 1.0) < 0.5
+    zero = jnp.zeros_like(fxp)
+    wx = (jnp.where(lo_x, 1.0 - fxp, zero),
+          jnp.where(lo_x, fxp, 1.0 - fxp),
+          jnp.where(lo_x, zero, fxp))
+    wy = (jnp.where(lo_y, 1.0 - fyp, zero),
+          jnp.where(lo_y, fyp, 1.0 - fyp),
+          jnp.where(lo_y, zero, fyp))
+    c1 = jnp.zeros_like(c0)
+    for r in range(3):
+        for c in range(3):
+            o = 12 + 3 * (r * 3 + c)
+            c1 = c1 + row[..., o:o + 3] * (wy[r] * wx[c])[..., None]
     return c0 * (1 - f) + c1 * f
 
 

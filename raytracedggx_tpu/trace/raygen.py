@@ -177,8 +177,9 @@ def _trace_shade_ordered_fused(trace_fused, shade_fn, env, o, d, t_min,
 
     if ray_order is None:
         rec, nrm = trace_fused(o, d, t_min, t_max)
-        shaded = shade_fn(rec, nrm, o, d)
-        env_rad = sample_env(env, d, miss_lod)
+        shaded, env_tap = shade_fn(rec, nrm, o, d)
+        env_rad = (env_tap if env_tap is not None
+                   else sample_env(env, d, miss_lod))
         rad = jnp.where(rec.hit[..., None], shaded, env_rad)
         return rad, rec.hit
     perm, unperm = _order_fns(ray_order)
@@ -186,8 +187,10 @@ def _trace_shade_ordered_fused(trace_fused, shade_fn, env, o, d, t_min,
     bundle = perm(jnp.concatenate([o, d, tm[:, None]], axis=-1))
     o_s, d_s = bundle[:, 0:3], bundle[:, 3:6]
     rec, nrm = trace_fused(o_s, d_s, t_min, bundle[:, 6])
-    shaded = shade_fn(rec, nrm, o_s, d_s)
-    env_rad = sample_env(env, d_s, miss_lod)  # miss radiance, still sorted
+    shaded, env_tap = shade_fn(rec, nrm, o_s, d_s)
+    # miss radiance, still sorted; rides the shade env tap when unified
+    env_rad = (env_tap if env_tap is not None
+               else sample_env(env, d_s, miss_lod))
     rad = jnp.where(rec.hit[..., None], shaded, env_rad)
     out = unperm(jnp.concatenate(
         [rad, rec.hit[..., None].astype(jnp.float32)], axis=-1))
@@ -242,8 +245,9 @@ def _trace_shade_bucketed_fused(trace_fused, shade_fn, env, o, d, t_min,
             jnp.concatenate([o, d, tm[:, None]], axis=-1)[idx])
         o_k, d_k = bundle[:, 0:3], bundle[:, 3:6]
         rec, nrm = trace_fused(o_k, d_k, t_min, bundle[:, 6])
-        shaded = shade_fn(rec, nrm, o_k, d_k)
-        env_k = sample_env(env, d_k, miss_lod)
+        shaded, env_tap = shade_fn(rec, nrm, o_k, d_k)
+        env_k = (env_tap if env_tap is not None
+                 else sample_env(env, d_k, miss_lod))
         rad_k = jnp.where(rec.hit[..., None], shaded, env_k)
         # back to row-major WITHOUT a scatter (scatters cost ~3x a
         # gather per row — round-3 trace: the .at[idx].set form was
@@ -359,10 +363,18 @@ def _mip_level(env: EnvMap, rough):
 
 
 def _spec_env_shade(env: EnvMap, n, v, rough, color, metal,
-                    dbg_mode="full"):
+                    dbg_mode="full", miss_dir=None, hit=None,
+                    miss_lod=0.0):
     """computeReflection at the recursion limit (RayTracing.hlsl:442-481,
     depth >= MAX branch): H = N, direction faded toward N by roughness,
     mip-filtered env lookup, EnvBRDFApprox split-sum weight.
+
+    miss_dir/hit: when given, the env tap serves DOUBLE DUTY — hit lanes
+    sample the roughness-filtered spec direction, miss lanes sample
+    (miss_dir, miss_lod) — so the wave's miss radiance costs zero extra
+    gathers (missMain RayTracing.hlsl:619-625 semantics; level selection
+    per lane, values identical to a separate lookup).  Returns
+    (spec, env_tap) then; plain spec otherwise.
 
     dbg_mode (profiling ablation only): "no_env" replaces the env lookup
     with a constant; "bilinear" samples the floor mip only."""
@@ -372,6 +384,7 @@ def _spec_env_shade(env: EnvMap, n, v, rough, color, metal,
     d = n + (r - n) * k                      # lerp(N, R, k), unnormalized
     nol = jnp.sum(n * d, axis=-1)
     nov = saturate(jnp.sum(n * v, axis=-1))
+    env_tap = None
     if dbg_mode == "no_env":
         rad = jnp.full_like(d, 0.5)
     elif dbg_mode == "bilinear":
@@ -380,11 +393,20 @@ def _spec_env_shade(env: EnvMap, n, v, rough, color, metal,
         face, uu, vv = dir_to_face_uv(d)
         rad = _bilinear(env, jnp.floor(lvl).astype(jnp.int32), face, uu,
                         vv)
+    elif miss_dir is not None:
+        tap_d = jnp.where(hit[..., None], d, miss_dir)
+        tap_l = jnp.where(hit, _mip_level(env, rough),
+                          jnp.float32(miss_lod))
+        env_tap = sample_env(env, tap_d, tap_l)
+        rad = env_tap
     else:
         rad = sample_env(env, d, _mip_level(env, rough))
     rad = jnp.where((nol > 0.0)[..., None], rad, 0.0)
     f0 = 0.04 * (1.0 - metal[..., None]) + color * metal[..., None]
-    return rad * env_brdf_approx(f0, rough, nov)
+    spec = rad * env_brdf_approx(f0, rough, nov)
+    if miss_dir is not None:
+        return spec, env_tap
+    return spec
 
 
 def _sh_shade(sh_coeffs, n, albedo):
@@ -395,7 +417,8 @@ def _sh_shade(sh_coeffs, n, albedo):
 
 def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
                      rec, ray_dir, damp_diffuse_albedo,
-                     fused_n=None, ray_o=None, dbg_env_mode="full"):
+                     fused_n=None, ray_o=None, dbg_env_mode="full",
+                     miss_dir=None, miss_lod=0.0):
     """Shared closest-hit shading for depth-1 rays.
 
     Both hit shaders route by the hit material's metallic
@@ -428,12 +451,21 @@ def _shade_secondary(geom, mesh_ids, consts, mats, env, sh_coeffs,
     rough, metal = get_rough_metal(mats.rough_metals, rec.inst, uv)
     color = get_base_color(mats.base_colors, rec.inst)[..., :3]
 
-    spec = _spec_env_shade(env, n, v, rough, color, metal,
-                           dbg_mode=dbg_env_mode)
+    env_tap = None
+    if miss_dir is not None and dbg_env_mode == "full":
+        spec, env_tap = _spec_env_shade(env, n, v, rough, color, metal,
+                                        miss_dir=miss_dir, hit=rec.hit,
+                                        miss_lod=miss_lod)
+    else:
+        spec = _spec_env_shade(env, n, v, rough, color, metal,
+                               dbg_mode=dbg_env_mode)
     albedo = jnp.where(damp_diffuse_albedo,
                        color * (1.0 - metal[..., None]), color)
     diff = _sh_shade(sh_coeffs, n, albedo)
-    return jnp.where((metal > 0.5)[..., None], spec, diff)
+    shaded = jnp.where((metal > 0.5)[..., None], spec, diff)
+    if miss_dir is not None:
+        return shaded, env_tap
+    return shaded
 
 
 def primary_surface(geom: SceneGeometry, tlas, consts: FrameConstants,
@@ -617,12 +649,13 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         # rec.hit implies the primary hit mask (tmax_r > 0 only there)
         def shade_r(rec, nrm, o_s, d_s):
             if dbg_no_secondary_shade:   # ablation (profiling only)
-                return jnp.zeros_like(o_s)
+                return jnp.zeros_like(o_s), None
             return _shade_secondary(geom, mesh_ids, consts, mats, env,
                                     sh_coeffs, rec, d_s,
                                     damp_diffuse_albedo=False,
                                     fused_n=nrm, ray_o=o_s,
-                                    dbg_env_mode=dbg_env_mode)
+                                    dbg_env_mode=dbg_env_mode,
+                                    miss_dir=d_s, miss_lod=dbg_miss_lod)
 
         bucket = int(secondary_bucket * R) if secondary_bucket else 0
         bucket = -(-bucket // 8192) * 8192            # whole kernel tiles
@@ -695,7 +728,8 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                 return _shade_secondary(geom, mesh_ids, consts, mats,
                                         env, sh_coeffs, rec, d_s,
                                         damp_diffuse_albedo=True,
-                                        fused_n=nrm, ray_o=o_s)
+                                        fused_n=nrm, ray_o=o_s,
+                                        miss_dir=d_s)
 
             d_order = secondary_order(trace_dir_d, tmax_d,
                                       with_inverse=not use_bucket)

@@ -38,8 +38,9 @@ def _setup(rng, n, live_frac):
 
     def shade(rec, nrm, o_s, d_s):
         # toy hit shading with a normal-dependent term so ordering bugs
-        # show up in the values
-        return jnp.abs(nrm) + 0.25 * d_s
+        # show up in the values.  Second element: optional unified env
+        # tap (None -> the caller samples the miss env itself)
+        return jnp.abs(nrm) + 0.25 * d_s, None
 
     env = procedural_env(16)
     order = sort_rays_morton(jnp.asarray(o), jnp.asarray(d),
