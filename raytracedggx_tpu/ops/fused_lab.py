@@ -23,6 +23,14 @@ Variants (static python flags on `_lab_kernel`):
                 precomputed outside and passed via SMEM) take a branch
                 with sign-selected near/far bounds — 12 mul/sub instead
                 of 12 mul/sub + 12 min/max per box
+  pre         — per-tag ray state precomputed OUTSIDE the kernel: the
+                tile's object-space origins/directions/inverse
+                directions for every instance tag ride a (tags*9, S, L)
+                VMEM block and the transformed mid-ray scalars (incl.
+                reciprocals) a (G, tags*8) SMEM table, so every stack
+                pop's ray_state() is 9 vector loads + 6 SMEM reads —
+                no vector FMAs, no vector/scalar divides, no in-kernel
+                mid-ray reductions in the hot loop
 
 Layout contracts are identical to ops/fused.py (instanced scene-wide
 columns from ops/scene_wide.build_scene_wide).
@@ -42,11 +50,13 @@ TILE_L = 128
 
 
 def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
+                pre_ref, mids_ref,
                 t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
                 stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
                 stats: bool, smem_nodes: bool, npop: int, ordered: bool,
                 lean: bool = False, recip: bool = False,
-                fold: bool = False, slim: bool = False):
+                fold: bool = False, slim: bool = False,
+                pre: bool = False):
     wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -62,17 +72,28 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
         lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
 
-    live = tmax0 >= 0.0
-    big = jnp.float32(3e38)
+    if not pre:
+        live = tmax0 >= 0.0
+        big = jnp.float32(3e38)
 
-    def mid(v):
-        return (jnp.min(jnp.where(live, v, big))
-                + jnp.max(jnp.where(live, v, -big))) * 0.5
+        def mid(v):
+            return (jnp.min(jnp.where(live, v, big))
+                    + jnp.max(jnp.where(live, v, -big))) * 0.5
 
-    wm_ox, wm_oy, wm_oz = mid(wox), mid(woy), mid(woz)
-    wm_dx, wm_dy, wm_dz = mid(wdx), mid(wdy), mid(wdz)
+        wm_ox, wm_oy, wm_oz = mid(wox), mid(woy), mid(woz)
+        wm_dx, wm_dy, wm_dz = mid(wdx), mid(wdy), mid(wdz)
+
+    def ray_state_pre(tag):
+        base = tag * 9
+        rows = [pre_ref[0, base + r] for r in range(9)]
+        g = pl.program_id(0)
+        mb = tag * 8
+        sm = tuple(mids_ref[g, mb + j] for j in range(6))
+        return tuple(rows), sm
 
     def ray_state(tag):
+        if pre:
+            return ray_state_pre(tag)
         m = [inv_ref[tag, j] for j in range(12)]
         ox = wox * m[0] + woy * m[3] + woz * m[6] + m[9]
         oy = wox * m[1] + woy * m[4] + woz * m[7] + m[10]
@@ -344,7 +365,8 @@ LEAF_BIT = 1 << 30       # stack entry: [30]=leaf [29:20]=tag [19:0]=addr
 
 
 def _ls_kernel(nodes_ref, tris_ref, rays_ref, inv_ref,
-               fold_ref, t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
+               fold_ref, pre_ref, mids_ref,
+               t_ref, u_ref, v_ref, n_ref, prim_ref, inst_ref,
                stats_ref, stack_ref, *, t_min, L, RW, TILE_S,
                stats: bool, smem_nodes: bool, ordered: bool, lean: bool):
     """Leaf-on-stack variant: every child (leaf or internal) is pushed as
@@ -603,7 +625,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                     npop: int = 2, ordered: bool = True,
                     lean: bool = False, leaf_stack: bool = False,
                     recip: bool = False, fold: bool = False,
-                    slim: bool = False):
+                    slim: bool = False, pre: bool = False):
     """Lab launcher mirroring ops/fused.trace_tiles_instanced, plus a
     (G, 2) int32 stats output (while-loop iterations, leaf visits per
     tile).  `nodes` must be the flat (Npad, 36) host-order array when
@@ -649,6 +671,38 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     else:
         fold_tbl = jnp.zeros((G, tags * 4), jnp.int32)
 
+    # per-(tile, tag) precomputed object-space ray state: one fused XLA
+    # pass builds [o | d | 1/d] for every tag (rows tag*9 .. tag*9+8)
+    # plus the transformed mid-ray scalars (with reciprocals) in SMEM
+    eps = jnp.float32(1e-20)
+
+    def _safe_inv(v):
+        return 1.0 / jnp.where(jnp.abs(v) < eps,
+                               jnp.where(v >= 0, eps, -eps), v)
+
+    if pre:
+        m = inv_mats.reshape(tags, 4, 3)                    # rows of inv
+        o3, d3 = rays[:, 0:3], rays[:, 3:6]                 # (G,3,S,L)
+        oo = (jnp.einsum("gjsl,tja->gtasl", o3, m[:, :3])
+              + m[:, 3][None, :, :, None, None])
+        od = jnp.einsum("gjsl,tja->gtasl", d3, m[:, :3])
+        prerays = jnp.concatenate([oo, od, _safe_inv(od)], axis=2
+                                  ).reshape(G, tags * 9, tile_s, TILE_L)
+        livep = rays[:, 6:7] >= 0.0                         # (G,1,S,L)
+        big = jnp.float32(3e38)
+        lo = jnp.min(jnp.where(livep, rays[:, :6], big), axis=(2, 3))
+        hi = jnp.max(jnp.where(livep, rays[:, :6], -big), axis=(2, 3))
+        wm = (lo + hi) * 0.5                                # (G,6)
+        s_o = (jnp.einsum("gj,tja->gta", wm[:, 0:3], m[:, :3])
+               + m[None, :, 3])
+        s_i = _safe_inv(jnp.einsum("gj,tja->gta", wm[:, 3:6], m[:, :3]))
+        mids_tbl = jnp.concatenate(
+            [s_o, s_i, jnp.zeros((G, tags, 2), jnp.float32)],
+            axis=-1).reshape(G, tags * 8)
+    else:
+        prerays = jnp.zeros((G, 1, tile_s, TILE_L), jnp.float32)
+        mids_tbl = jnp.zeros((G, 8), jnp.float32)
+
     node_space = pltpu.SMEM if smem_nodes else pltpu.VMEM
     tile_spec = lambda: pl.BlockSpec((1, tile_s, TILE_L),
                                      lambda g: (g, 0, 0),
@@ -663,7 +717,9 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                                  RW=RW, TILE_S=tile_s, stats=stats,
                                  smem_nodes=smem_nodes, npop=npop,
                                  ordered=ordered, lean=lean,
-                                 recip=recip, fold=fold, slim=slim)
+                                 recip=recip, fold=fold, slim=slim,
+                                 pre=pre)
+    pre_rows = prerays.shape[1]
     t, u, v, nrm, prim_f, inst_f, st = pl.pallas_call(
         kern,
         grid=(G,),
@@ -673,6 +729,9 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
             pl.BlockSpec((1, 7, tile_s, TILE_L),
                          lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, pre_rows, tile_s, TILE_L),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[tile_spec(), tile_spec(), tile_spec(),
@@ -693,7 +752,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
         ],
         scratch_shapes=[pltpu.SMEM((stack,), jnp.int32)],
         interpret=interpret,
-    )(nodes, tris, rays, inv_mats, fold_tbl)
+    )(nodes, tris, rays, inv_mats, fold_tbl, prerays, mids_tbl)
 
     def fl(x):
         return x.reshape(G * TILE)[:R]

@@ -251,6 +251,20 @@ def main():
             slim=True, tile_s=16)
     variant("fold_l16", lean=True, l16=True, fold=True)
     variant("recip_fold_l16", lean=True, l16=True, recip=True, fold=True)
+    # round-3b: precomputed per-tag ray state (pre) + octant folding on
+    # the production L64 SAH tree; recip everywhere (it's in production)
+    variant("pre_l64", lean=True, l64=True, recip=True, pre=True)
+    variant("fold_l64", lean=True, l64=True, recip=True, fold=True)
+    variant("prefold_l64", lean=True, l64=True, recip=True, pre=True,
+            fold=True)
+    # tile re-sweep under the lower per-iteration fixed cost (the
+    # fixed-cost/union balance shifts again)
+    variant("prefold_l64_t4", lean=True, l64=True, recip=True, pre=True,
+            fold=True, tile_s=4)
+    variant("prefold_l64_t16", lean=True, l64=True, recip=True, pre=True,
+            fold=True, tile_s=16)
+    variant("prefold_l32", lean=True, l32=True, recip=True, pre=True,
+            fold=True)
     variant("ls", leaf_stack=True)
     variant("ls_lean", leaf_stack=True, lean=True)
     variant("ls_lean_l16", leaf_stack=True, lean=True, l16=True)
