@@ -63,6 +63,12 @@ def parse_args(argv=None):
     p.add_argument("--traversal",
                    choices=["auto", "wide", "pallas", "pallas4", "jax"],
                    default="auto", help="traversal backend")
+    p.add_argument("--interactive", action="store_true",
+                   help="runtime interaction REPL over stdin: the "
+                        "reference's hotkey/mouse surface "
+                        "(RayTracedGGX.cpp:365-455) — type 'help'")
+    p.add_argument("--frames-per-cmd", type=int, default=8,
+                   help="frames rendered between interactive commands")
     p.add_argument("--stats", action="store_true", help="print fps line")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the run")
@@ -75,6 +81,113 @@ def parse_args(argv=None):
 
 DEFAULT_MESH = "/root/reference/Bin/Assets/dragon.obj"
 DEFAULT_ENV = "/root/reference/Bin/Assets/rnl_cross.dds"
+
+INTERACTIVE_HELP = """commands (one per line; blank line = render a batch):
+  pause | space          toggle animation pause          (Space)
+  left | right           cycle the selected mesh         (arrow keys)
+  up | down              metallic +-0.25 on selection    (arrow keys)
+  v                      toggle filter kernel variant    ('V')
+  a                      toggle async-compute split      ('A')
+  shot | f11             save a screenshot now           (F11)
+  drag DX DY             mouse-orbit by DX,DY pixels     (left-drag)
+  wheel DZ               dolly DZ wheel notches          (mouse wheel)
+  run N                  render N frames
+  help                   this text
+  quit                   finish (writes --out)"""
+
+
+def interactive_loop(r, state, args, scene, mesh_file, stream=None):
+    """The reference's runtime input surface (OnKeyUp hotkeys
+    RayTracedGGX.cpp:365-398, OnMouseMove/OnMouseWheel orbit :401-455)
+    as a headless REPL: commands arrive on stdin (or any line iterable),
+    each followed by a rendered frame batch and a stats line — the
+    window-title loop (CalculateFrameStats :741-777) done headless."""
+    import jax.numpy as jnp
+
+    from ..io import write_png
+    from ..scene.camera import OrbitController
+    from .stats import FrameStats
+
+    stream = stream if stream is not None else sys.stdin
+    orbit = OrbitController(r.camera)
+    cam = None
+    stats = FrameStats()
+    paused = args.pause
+    num_mesh = len(set(scene.mesh_ids))
+    # per-MESH metallic (m_metallics, RayTracedGGX.cpp:367): seed from the
+    # first instance of each mesh
+    rm = np.asarray(r.materials.rough_metals)
+    metallics = [1.0] * num_mesh
+    seen = set()
+    for inst, mid in enumerate(scene.mesh_ids):
+        if mid not in seen:
+            seen.add(mid)
+            metallics[mid] = float(rm[inst, 1])
+    current_mesh = 0
+    use_pallas = r.kernels == "pallas"
+    shots = 0
+    frame = None
+
+    def render_batch(n):
+        nonlocal state, frame
+        for _ in range(n):
+            state, frame, _ = r.step(state, dt=0.0 if paused else args.dt,
+                                     cam=cam)
+            stats.tick()
+        frame.block_until_ready()
+        print(stats.title(
+            mesh=f"{current_mesh}", metallic=f"{metallics[current_mesh]:g}",
+            V="on" if use_pallas else "off",
+            A="on" if r.config.async_compute else "off",
+            paused="yes" if paused else "no"), flush=True)
+
+    render_batch(args.frames_per_cmd)
+    for line in stream:
+        toks = line.strip().lower().split()
+        cmd = toks[0] if toks else ""
+        if cmd in ("quit", "exit", "q"):
+            break
+        elif cmd in ("pause", "space"):
+            paused = not paused
+        elif cmd == "left":
+            current_mesh = (current_mesh + num_mesh - 1) % num_mesh
+        elif cmd == "right":
+            current_mesh = (current_mesh + 1) % num_mesh
+        elif cmd in ("up", "down"):
+            step = 0.25 if cmd == "up" else -0.25
+            metallics[current_mesh] = float(
+                np.clip(metallics[current_mesh] + step, 0.0, 1.0))
+            r.set_metallic(current_mesh, metallics[current_mesh])
+        elif cmd == "v":
+            use_pallas = not use_pallas
+            r.set_kernels("pallas" if use_pallas else "xla")
+        elif cmd == "a":
+            r.set_async_compute(not r.config.async_compute)
+        elif cmd in ("shot", "f11"):
+            shots += 1
+            path = (f"{os.path.splitext(args.out)[0]}"
+                    f"_shot{shots:03d}.png")
+            if frame is not None:
+                write_png(path, np.clip(np.asarray(frame), 0, 1))
+                print(f"screenshot {path}", flush=True)
+        elif cmd == "drag" and len(toks) == 3:
+            orbit.drag(float(toks[1]), float(toks[2]))
+            cam = orbit.arrays()
+        elif cmd == "wheel" and len(toks) == 2:
+            orbit.wheel(float(toks[1]))
+            cam = orbit.arrays()
+        elif cmd == "run" and len(toks) == 2:
+            render_batch(int(toks[1]))
+            continue
+        elif cmd == "help":
+            print(INTERACTIVE_HELP, flush=True)
+            continue
+        elif cmd not in ("",):
+            print(f"? unknown command: {line.strip()} (try 'help')",
+                  flush=True)
+            continue
+        render_batch(args.frames_per_cmd)
+    return state, frame
 
 
 def main(argv=None):
@@ -130,6 +243,13 @@ def main(argv=None):
     r = Renderer(scene, env=env, config=cfg)
     state = r.init_state()
     stats = FrameStats()
+
+    if args.interactive:
+        state, frame = interactive_loop(r, state, args, scene, mesh_file)
+        if frame is not None:
+            write_png(args.out, np.clip(np.asarray(frame), 0, 1))
+            print(f"wrote {args.out} (interactive session)")
+        return
 
     if args.stage_times:
         from .profiler import time_stages

@@ -460,6 +460,30 @@ class Renderer:
                 chain, donate_argnums=(0,))
         return fn(state, jnp.float32(dt), self.materials.rough_metals)
 
+    def set_kernels(self, kernels: str):
+        """Runtime 'V' hotkey analog (RayTracedGGX.cpp:391-393): switch
+        the spatial-filter implementation between the XLA stencils and
+        the VMEM-tiled Pallas kernels.  The filter choice is baked into
+        the traced program, so this drops the jit caches — the next
+        step recompiles (the reference swaps to a different prebuilt
+        PSO; XLA's analog of the PSO cache is the persistent
+        compilation cache, which makes repeat toggles cheap)."""
+        if kernels == self.kernels:
+            return
+        self.kernels = kernels
+        self.kernels_interpret = (kernels == "pallas"
+                                  and jax.default_backend() != "tpu")
+        self._step = jax.jit(partial(self._frame_step), donate_argnums=(0,))
+        self._step_n_cache = {}
+        self._render = jax.jit(self._render_step, donate_argnums=(0,))
+
+    def set_async_compute(self, on: bool):
+        """Runtime 'A' hotkey analog (RayTracedGGX.cpp:394-396): split
+        the TLAS refit into its own dispatch vs fuse it into the frame
+        program.  Pure host-side dispatch choice — no recompile."""
+        from dataclasses import replace
+        self.config = replace(self.config, async_compute=bool(on))
+
     def set_metallic(self, mesh_idx: int, metallic: float):
         """RayTracer::SetMetallic (RayTracer.cpp:243-247). Per-mesh: every
         instance of the mesh updates (instances share mesh materials)."""

@@ -62,6 +62,39 @@ def rotation_y(angle):
     ])
 
 
+def rotation_x(angle):
+    """XMMatrixRotationX equivalent (row-vector convention)."""
+    c = jnp.cos(jnp.asarray(angle, jnp.float32))
+    s = jnp.sin(jnp.asarray(angle, jnp.float32))
+    z = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    return jnp.stack([
+        jnp.stack([one, z, z, z]),
+        jnp.stack([z, c, s, z]),
+        jnp.stack([z, -s, c, z]),
+        jnp.stack([z, z, z, one]),
+    ])
+
+
+def rotation_roll_pitch_yaw(pitch, yaw, roll=0.0):
+    """XMMatrixRotationRollPitchYaw equivalent: Rz(roll) @ Rx(pitch) @
+    Ry(yaw) in row-vector order (roll omitted here when 0)."""
+    m = rotation_x(pitch) @ rotation_y(yaw)
+    if not (isinstance(roll, float) and roll == 0.0):
+        c = jnp.cos(jnp.asarray(roll, jnp.float32))
+        s = jnp.sin(jnp.asarray(roll, jnp.float32))
+        z = jnp.zeros((), jnp.float32)
+        one = jnp.ones((), jnp.float32)
+        rz = jnp.stack([
+            jnp.stack([c, s, z, z]),
+            jnp.stack([-s, c, z, z]),
+            jnp.stack([z, z, one, z]),
+            jnp.stack([z, z, z, one]),
+        ])
+        m = rz @ m
+    return m
+
+
 def scaling(sx, sy, sz):
     return jnp.diag(jnp.asarray([sx, sy, sz, 1.0], jnp.float32))
 

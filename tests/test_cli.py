@@ -110,3 +110,72 @@ def test_taa_converges_under_jitter():
     assert np.isfinite(f).all()
     # late-frame flicker well below early-frame flicker
     assert np.mean(deltas[-3:]) < np.mean(deltas[:3])
+
+
+def test_interactive_loop_hotkeys(tmp_path):
+    """Runtime interaction surface: drive every hotkey analog
+    (RayTracedGGX.cpp:365-455) through the --interactive REPL with a
+    command script and check the session state changes land."""
+    import io
+
+    from raytracedggx_tpu.engine.cli import interactive_loop, parse_args
+    from raytracedggx_tpu.scene import Scene, default_materials
+    from raytracedggx_tpu.scene.mesh import ground_cube
+    from raytracedggx_tpu.engine import Renderer, RenderConfig
+
+    scene = Scene(meshes=[ground_cube(), ground_cube()],
+                  materials=default_materials(),
+                  pos_scale=np.array([0, 3.0, 0, 1.0], np.float32))
+    r = Renderer(scene, config=RenderConfig(width=48, height=32))
+    state = r.init_state()
+    out = tmp_path / "i.png"
+    args = parse_args(["--out", str(out), "--frames-per-cmd", "1"])
+
+    script = io.StringIO("\n".join([
+        "pause", "right", "up", "down", "down",   # mesh 1 metallic -0.25
+        "a",                                      # async split on
+        "drag 64 -32", "wheel 1",                 # orbit + dolly
+        "shot", "run 2", "help", "bogus", "quit",
+    ]) + "\n")
+    state, frame = interactive_loop(r, state, args, scene, "ground",
+                                    stream=script)
+    assert frame is not None and np.isfinite(np.asarray(frame)).all()
+    # 'up' clamps at the default 1.0 (reference: min(m+0.25, 1)), then
+    # two 'down's -> mesh 1 at 0.5
+    rm = np.asarray(r.materials.rough_metals)
+    mesh1_insts = [i for i, m in enumerate(scene.mesh_ids) if m == 1]
+    assert np.allclose(rm[mesh1_insts, 1], 0.5)
+    assert r.config.async_compute            # 'a' toggled from default off
+    assert (tmp_path / "i_shot001.png").exists()
+
+
+def test_orbit_controller_matches_reference_semantics():
+    """OnMouseMove/OnMouseWheel math (RayTracedGGX.cpp:401-455): a drag
+    preserves the orbit radius about the focus; a wheel notch moves the
+    eye toward the focus by len/16; yaw-only drags stay on the same
+    latitude circle."""
+    from raytracedggx_tpu.scene.camera import Camera, OrbitController
+
+    cam = Camera(width=1280, height=720)
+    orb = OrbitController(cam)
+    r0 = np.linalg.norm(orb.focus - orb.eye)
+
+    orb.drag(320.0, -90.0)
+    assert np.isclose(np.linalg.norm(orb.focus - orb.eye), r0, rtol=1e-4)
+
+    # full-width drag = 2*pi yaw -> back to the start
+    orb2 = OrbitController(Camera(width=1280, height=720))
+    eye0 = orb2.eye.copy()
+    orb2.drag(1280.0, 0.0)
+    assert np.allclose(orb2.eye, eye0, atol=1e-3)
+
+    orb3 = OrbitController(Camera(width=1280, height=720))
+    r1 = np.linalg.norm(orb3.focus - orb3.eye)
+    orb3.wheel(1.0)
+    assert np.isclose(np.linalg.norm(orb3.focus - orb3.eye),
+                      r1 * (1 - 1 / 16), rtol=1e-4)
+
+    # arrays() emits a usable cam triple
+    vp, p2w, eye = orb3.arrays()
+    assert vp.shape == (4, 4) and p2w.shape == (4, 4) and eye.shape == (3,)
+    assert np.isfinite(np.asarray(vp)).all()
