@@ -30,7 +30,20 @@ Variants (static python flags on `_lab_kernel`):
                 reciprocals) a (G, tags*8) SMEM table, so every stack
                 pop's ray_state() is 9 vector loads + 6 SMEM reads —
                 no vector FMAs, no vector/scalar divides, no in-kernel
-                mid-ray reductions in the hot loop
+                mid-ray reductions in the hot loop.
+                NOTE: pre scales VMEM/HBM linearly with the instance-tag
+                count (tags*9 fp32 planes per ray ≈ 33 MB/tag @720p);
+                cap or chunk tags before graduating it to ops/fused.py.
+  sub         — hierarchical leaves (round 4): the leaf column carries 4
+                sub-AABBs over its 4 contiguous L/4-slot chunks (rows
+                9L..9L+23); a leaf visit tests the 4 sub-boxes on the
+                tile (2 packed reductions, like the node visit) and runs
+                each chunk's Möller–Trumbore under a lax.cond — one more
+                tree level without stack/sort/pop cost, attacking the
+                union over-visit where the wave is leaf-MT-bound
+                (docs/PERF.md r4).  Requires lean; winner's stream slot
+                is computed in-kernel (production ops/fused.py
+                semantics), so no prim rows ride the stream.
 
 Layout contracts are identical to ops/fused.py (instanced scene-wide
 columns from ops/scene_wide.build_scene_wide).
@@ -56,7 +69,7 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
                 stats: bool, smem_nodes: bool, npop: int, ordered: bool,
                 lean: bool = False, recip: bool = False,
                 fold: bool = False, slim: bool = False,
-                pre: bool = False):
+                pre: bool = False, sub: int = 0):
     wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -70,6 +83,13 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
     def fetch(ref, idx, rows):
         tile = ref[idx >> 7]
         lanes = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
+
+    def fetch_rows(ref, idx, r0, nrows):
+        """Column fetch restricted to rows [r0, r0+nrows) — chunks of a
+        hierarchical leaf load only their own geometry."""
+        tile = ref[idx >> 7, r0:r0 + nrows]
+        lanes = lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
         return jnp.sum(jnp.where(lanes == (idx & 127), tile, 0.0), axis=1)
 
     if not pre:
@@ -116,7 +136,81 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
                  safe_inv(dx), safe_inv(dy), safe_inv(dz)),
                 (s_ox, s_oy, s_oz, s_inv(s_dx), s_inv(s_dy), s_inv(s_dz)))
 
+    def leaf_fn_sub(lf, inst_f, rs, carry):
+        """Hierarchical leaf visit: test the `sub` sub-AABBs (leaf column
+        rows 9L..9L+6*sub-1) against the tile, then run each live chunk's
+        L/sub Möller–Trumbore tests under a lax.cond.  Winner id is the
+        stream slot (production ops/fused.py lean semantics)."""
+        ox, oy, oz, dx, dy, dz = rs[:6]
+        ix, iy, iz = rs[6], rs[7], rs[8]
+        bt0 = carry[0]
+        nq = sub
+        Lq = L // nq
+        boxc = fetch_rows(tris_ref, lf, 9 * L, 6 * nq)
+        raw = []
+        for q in range(nq):
+            o = 6 * q
+            t0x = (boxc[o + 0] - ox) * ix
+            t1x = (boxc[o + 3] - ox) * ix
+            t0y = (boxc[o + 1] - oy) * iy
+            t1y = (boxc[o + 4] - oy) * iy
+            t0z = (boxc[o + 2] - oz) * iz
+            t1z = (boxc[o + 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            raw.append((tn <= tf) & (tf >= t_min) & (tn <= bt0))
+        hq = []
+        for q in range(0, nq, 2):       # packed pairs, like the node visit
+            c = jnp.sum(raw[q].astype(jnp.int32)
+                        + (raw[q + 1].astype(jnp.int32) << 16))
+            hq.append((c & 0xFFFF) > 0)
+            hq.append((c >> 16) > 0)
+        base = (lf * L).astype(jnp.float32)
+
+        for q in range(nq):
+            def chunk(c, q=q):
+                bt, bu, bv, bnx, bny, bnz, bpr, bin_ = c
+                colT = fetch_rows(tris_ref, lf, 9 * Lq * q, 9 * Lq)
+                for j in range(Lq):
+                    o9 = 9 * j
+                    v0x, v0y, v0z = colT[o9 + 0], colT[o9 + 1], colT[o9 + 2]
+                    e1x, e1y, e1z = colT[o9 + 3], colT[o9 + 4], colT[o9 + 5]
+                    e2x, e2y, e2z = colT[o9 + 6], colT[o9 + 7], colT[o9 + 8]
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    if recip:
+                        r0 = pl.reciprocal(det, approx=True)
+                        inv_det = r0 * (2.0 - det * r0)
+                    else:
+                        inv_det = 1.0 / det
+                    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                          & (t >= t_min) & (t <= bt))
+                    bt = jnp.where(ok, t, bt)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                    bpr = jnp.where(ok, base + (q * Lq + j), bpr)
+                    bin_ = jnp.where(ok, inst_f, bin_)
+                return (bt, bu, bv, bnx, bny, bnz, bpr, bin_)
+
+            carry = lax.cond(hq[q], chunk, lambda c: c, carry)
+        return carry
+
     def leaf_fn(lf, inst_f, rs, carry):
+        if sub:
+            return leaf_fn_sub(lf, inst_f, rs, carry)
         bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
         ox, oy, oz, dx, dy, dz = rs[:6]
         colT = fetch(tris_ref, lf, RW)
@@ -625,12 +719,21 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                     npop: int = 2, ordered: bool = True,
                     lean: bool = False, leaf_stack: bool = False,
                     recip: bool = False, fold: bool = False,
-                    slim: bool = False, pre: bool = False):
+                    slim: bool = False, pre: bool = False,
+                    sub: int = 0):
     """Lab launcher mirroring ops/fused.trace_tiles_instanced, plus a
     (G, 2) int32 stats output (while-loop iterations, leaf visits per
     tile).  `nodes` must be the flat (Npad, 36) host-order array when
     smem_nodes=True (ops/scene_wide keeps it as (Nt, 36, 128) columns
     otherwise)."""
+    if leaf_stack and pre:
+        raise ValueError("leaf_stack + pre is not implemented: _ls_kernel "
+                         "has no pre path and would silently time the "
+                         "non-pre kernel")
+    if sub and (not lean or slim or leaf_stack or leaf_size % sub):
+        raise ValueError("sub requires lean, no slim/leaf_stack, and "
+                         "leaf_size divisible by sub; pass tris from "
+                         "sub_tris()")
     L = leaf_size
     RW = tris.shape[1]
     R = ray_o.shape[0]
@@ -718,7 +821,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                                  smem_nodes=smem_nodes, npop=npop,
                                  ordered=ordered, lean=lean,
                                  recip=recip, fold=fold, slim=slim,
-                                 pre=pre)
+                                 pre=pre, sub=sub)
     pre_rows = prerays.shape[1]
     t, u, v, nrm, prim_f, inst_f, st = pl.pallas_call(
         kern,
@@ -778,3 +881,31 @@ def lean_tris(sw):
     L = int(sw.leaf_size)
     return jnp.concatenate(
         [sw.tris[:, :9 * L], sw.tris[:, 18 * L:19 * L]], axis=1)
+
+
+def sub_tris(sw, nq: int = 4):
+    """Hierarchical-leaf stream for the `sub` variant: [geom 9L |
+    sub-AABBs 6*nq] columns, where sub-box q bounds the leaf's stream
+    slots [q*L/nq, (q+1)*L/nq).  Pad slots carry NaN vertices; an
+    all-pad chunk gets a NaN box, which fails every slab comparison in
+    the kernel the same way pad triangles fail Möller–Trumbore."""
+    import numpy as np
+
+    L = int(sw.leaf_size)
+    tris = np.asarray(sw.tris)               # (Lt, 19L, 128) fat columns
+    geom = tris[:, :9 * L]
+    Lt = geom.shape[0]
+    g = geom.reshape(Lt, L, 9, 128)
+    v0 = g[:, :, 0:3]
+    verts = np.stack([v0, v0 + g[:, :, 3:6], v0 + g[:, :, 6:9]],
+                     axis=2)                 # (Lt, L, 3, 3, 128)
+    Lq = L // nq
+    vq = verts.reshape(Lt, nq, Lq * 3, 3, 128)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN chunks
+        lo = np.nanmin(vq, axis=2)           # (Lt, nq, 3, 128)
+        hi = np.nanmax(vq, axis=2)
+    boxes = np.concatenate([lo, hi], axis=2)  # (Lt, nq, 6, 128)
+    boxes = boxes.reshape(Lt, 6 * nq, 128).astype(np.float32)
+    return jnp.concatenate([jnp.asarray(geom), jnp.asarray(boxes)], axis=1)

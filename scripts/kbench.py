@@ -13,6 +13,7 @@ Variants: stats base smem npop1 npop4 unordered tile16 tile32 alldead
 (default: all).
 """
 
+import os
 import sys
 import time
 
@@ -83,7 +84,12 @@ def reflection_rays(sw, o_p, d_p):
     px = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
     py = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
     xi = sample_param(px, py, W, jnp.uint32(0))
-    a = jnp.float32(0.16)  # rough ~0.4 — representative glossy lobe
+    # default a = 0.25 (rough 0.5) — the headline scene's real material
+    # (RayTracer.cpp:134-139 silver rough 0.5), so the wave's live count
+    # and divergence match the production bucket trace.  Round-3 runs
+    # used a=0.16 (68k live); production is ~177k live — override via
+    # KB_ROUGH_A for comparisons against r3 tables.
+    a = jnp.float32(float(os.environ.get("KB_ROUGH_A", "0.25")))
     h_vec = ggx_dir(jnp.full(p.shape[:1], a), n, xi)
     r_dir = reflect(d_p, h_vec)
     tmax = jnp.where(hit & (jnp.sum(n * r_dir, axis=-1) > 0), T_MAX, -1.0)
@@ -128,6 +134,21 @@ def main():
     sw16 = None
     sw16_lbvh = None
 
+    _parity_cache = {}
+
+    def parity_ref(s):
+        """Production-kernel t on the reflection rays for the SAME tree
+        (cached) — the parity oracle for every lab variant."""
+        key = id(s)
+        if key not in _parity_cache:
+            from raytracedggx_tpu.ops.fused import trace_tiles_instanced
+            t, *_ = trace_tiles_instanced(
+                s.nodes, s.tris, s.inv_mats, o_r, d_r, 0.0, tm_r,
+                leaf_size=int(s.leaf_size), stack=int(s.stack),
+                lean=False)
+            _parity_cache[key] = np.asarray(t)
+        return _parity_cache[key]
+
     def variant(name, **kw):
         nonlocal sw16, sw16_lbvh
         if only and name not in only:
@@ -167,7 +188,11 @@ def main():
             L = 16
         smem = kw.pop("smem_nodes", False)
         nodes = nodes_flat_for_smem(s) if smem else s.nodes
-        tris = lean_tris(s) if kw.get("lean") else s.tris
+        if kw.get("sub"):
+            from raytracedggx_tpu.ops.fused_lab import sub_tris
+            tris = sub_tris(s, kw["sub"])
+        else:
+            tris = lean_tris(s) if kw.get("lean") else s.tris
         tile_s = kw.pop("tile_s", 8)
         stk = int(s.stack) * (3 if kw.get("leaf_stack") else 1)
 
@@ -207,8 +232,19 @@ def main():
             ms_p = time_chain(launch, o_p, d_p,
                               jnp.full(o_p.shape[:1], T_MAX), frames)
             ms_r = time_chain(launch, o_r, d_r, tm_r, frames)
+            par = ""
+            if os.environ.get("KB_PARITY", "1") != "0":
+                # one-frame parity gate vs the production kernel on the
+                # SAME tree: a silent numeric bug in a new variant must
+                # not produce meaningless-but-plausible timings
+                t_v = np.asarray(launch(o_r, d_r, tm_r))
+                err = np.abs(t_v - parity_ref(s))
+                rel = err / np.maximum(np.abs(parity_ref(s)), 1e-3)
+                par = f"   parity {np.minimum(err, rel).max():.2e}"
+                if np.minimum(err, rel).max() > 1e-3:
+                    par += " MISMATCH"
             print(f"{name:12s} primary {ms_p:7.2f} ms   "
-                  f"reflection {ms_r:7.2f} ms", flush=True)
+                  f"reflection {ms_r:7.2f} ms{par}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and move on
             print(f"{name:12s} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
@@ -253,6 +289,9 @@ def main():
     variant("recip_fold_l16", lean=True, l16=True, recip=True, fold=True)
     # round-3b: precomputed per-tag ray state (pre) + octant folding on
     # the production L64 SAH tree; recip everywhere (it's in production)
+    variant("recip_l64_t4", lean=True, l64=True, recip=True, tile_s=4)
+    variant("recip_l64_t2", lean=True, l64=True, recip=True, tile_s=2)
+    variant("recip_l64_t16", lean=True, l64=True, recip=True, tile_s=16)
     variant("pre_l64", lean=True, l64=True, recip=True, pre=True)
     variant("fold_l64", lean=True, l64=True, recip=True, fold=True)
     variant("prefold_l64", lean=True, l64=True, recip=True, pre=True,
@@ -265,6 +304,16 @@ def main():
             fold=True, tile_s=16)
     variant("prefold_l32", lean=True, l32=True, recip=True, pre=True,
             fold=True)
+    # round-4: hierarchical leaves — sub-AABB-gated chunks inside L64
+    # leaves (L16-granularity Möller–Trumbore at L64 pop count)
+    variant("sub4_l64", lean=True, l64=True, recip=True, sub=4)
+    variant("sub8_l64", lean=True, l64=True, recip=True, sub=8)
+    variant("sub4_fold_l64", lean=True, l64=True, recip=True, sub=4,
+            fold=True)
+    variant("sub4_l64_t16", lean=True, l64=True, recip=True, sub=4,
+            tile_s=16)
+    variant("sub4_l32", lean=True, l32=True, recip=True, sub=4)
+    variant("sub8_l128", lean=True, l128=True, recip=True, sub=8)
     variant("ls", leaf_stack=True)
     variant("ls_lean", leaf_stack=True, lean=True)
     variant("ls_lean_l16", leaf_stack=True, lean=True, l16=True)
