@@ -1,4 +1,4 @@
-"""Traversal-kernel micro-bench (round 3): price each ops/fused_lab
+"""Traversal-kernel micro-bench (round 3): price each ops/lab/fused_lab
 variant on the real TPU with chained-loop timing (the only reliable
 methodology on the tunneled backend — docs/PERF.md).
 
@@ -119,10 +119,10 @@ def time_chain(launch, o, d, tmax, frames):
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
-    from raytracedggx_tpu.ops.fused_lab import (trace_tiles_lab,
+    from raytracedggx_tpu.ops.lab.fused_lab import (trace_tiles_lab,
                                                 nodes_flat_for_smem)
 
-    from raytracedggx_tpu.ops.fused_lab import lean_tris
+    from raytracedggx_tpu.ops.lab.fused_lab import lean_tris
     from raytracedggx_tpu.ops.scene_wide import build_scene_wide
 
     scene, geom, sw, o_p, d_p = build()
@@ -189,7 +189,7 @@ def main():
         smem = kw.pop("smem_nodes", False)
         nodes = nodes_flat_for_smem(s) if smem else s.nodes
         if kw.get("sub"):
-            from raytracedggx_tpu.ops.fused_lab import sub_tris
+            from raytracedggx_tpu.ops.lab.fused_lab import sub_tris
             tris = sub_tris(s, kw["sub"])
         else:
             tris = lean_tris(s) if kw.get("lean") else s.tris
@@ -323,7 +323,7 @@ def main():
     def mxu_variant(name, leaf, tile_s=8):
         if only and name not in only:
             return
-        from raytracedggx_tpu.ops.fused_mxu import (mxu_stream,
+        from raytracedggx_tpu.ops.lab.fused_mxu import (mxu_stream,
                                                     trace_tiles_mxu)
         s = build_scene_wide(geom, scene.mesh_ids, leaf_size=leaf,
                              lean=True)
@@ -358,7 +358,7 @@ def main():
         dead = jnp.full(o_p.shape[:1], -1.0)
 
         def launch0(o, d, tmax):
-            from raytracedggx_tpu.ops.fused_lab import trace_tiles_lab
+            from raytracedggx_tpu.ops.lab.fused_lab import trace_tiles_lab
             t, *_ = trace_tiles_lab(sw.nodes, sw.tris, sw.inv_mats, o, d,
                                     0.0, tmax, leaf_size=8,
                                     stack=int(sw.stack))

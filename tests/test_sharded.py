@@ -18,8 +18,10 @@ def tiny_scene():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
-@pytest.mark.slow
 def test_sharded_matches_single_chip():
+    # fast tier deliberately (round-4 docs hygiene): the default suite must
+    # exercise a full sharded frame step with ppermute TAA-history halos,
+    # not just the halo_exchange_rows unit test below
     scene = tiny_scene()
     cfg = RenderConfig(width=W, height=H)
     single = Renderer(scene, config=cfg)
