@@ -66,6 +66,15 @@ CONFIGS = {
     5: dict(name="4k_multi_instance_async_refit", mesh="bunny.obj",
             envs=["rnl"], res=(3840, 2160), spatial=True, temporal=True,
             extra=6, animate=True, frames=4),
+    # r4 (VERDICT item 4): the three-wave frame.  metallic = 0.5 on both
+    # meshes arms the diffuse wave (raygenMain traces it only where
+    # metallic < 1, RayTracing.hlsl:556-563) — the headline scene's
+    # all-metal defaults (RayTracer.cpp:134-139) skip it entirely, so
+    # this config is the only one whose cost includes computeDiffuse
+    # (:486-535) live.
+    6: dict(name="three_wave_metallic05", mesh="bunny.obj", envs=["rnl"],
+            res=(1280, 720), spatial=True, temporal=True, extra=0,
+            animate=True, metallic=0.5),
 }
 
 
@@ -77,9 +86,12 @@ def _run_config(cfg_id: int):
 
     c = CONFIGS[cfg_id]
     w, h = c["res"] or _res()
-    # enough frames that the one end-of-run frame download (~350 ms for
-    # 11 MB over the tunnel) doesn't distort the per-frame mean
-    frames = int(os.environ.get("RTGGX_BENCH_FRAMES", c.get("frames", 60)))
+    # enough frames that the RUN-fixed tunnel costs (one ~350 ms 11 MB
+    # frame download + first-dispatch ramp) don't distort the per-frame
+    # mean: at 60 frames they charged ~10 ms/frame (r4: 55.2 ms measured
+    # vs 45.8 ms device xplane); at 240 frames bench == device time
+    frames = int(os.environ.get("RTGGX_BENCH_FRAMES",
+                                c.get("frames", 240)))
 
     mesh = f"{ASSETS}/{c['mesh']}"
     extra = tuple((2.5 * (i % 3) - 2.5, 0.0, 2.5 * (i // 3) - 2.5, 0.6)
@@ -109,6 +121,9 @@ def _run_config(cfg_id: int):
                 temporal=c["temporal"], kernels=kernels,
                 traversal=os.environ.get("RTGGX_BENCH_TRAVERSAL", "auto"))
             r = Renderer(scene, env=env, config=cfg)
+            if c.get("metallic") is not None:
+                for mesh_idx in (0, 1):
+                    r.set_metallic(mesh_idx, c["metallic"])
             state = r.init_state()
             anim_dt = 1 / 60 if c["animate"] else 0.0
 
@@ -166,7 +181,7 @@ def child():
     enable_compilation_cache()
 
     if "--all-configs" in sys.argv:
-        for cfg_id in (1, 2, 3, 4, 5):
+        for cfg_id in (1, 2, 3, 4, 5, 6):
             print(json.dumps(_run_config(cfg_id)), flush=True)
         return
     print(json.dumps(_run_config(

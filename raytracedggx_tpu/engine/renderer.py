@@ -77,12 +77,18 @@ class RenderConfig:
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
-    secondary_bucket: float = 0.25  # live-prefix fraction for secondary
+    secondary_bucket: float = 0.222  # live-prefix fraction for secondary
                                     # waves: trace/shade/permute only a
                                     # static bucket of the sorted wave
                                     # (dead rays sort last); lax.cond
                                     # falls back to the full wave when
                                     # live rays overflow.  0 disables.
+                                    # Sized from the measured worst-case
+                                    # live reflection wave over a full
+                                    # rotation (scripts/livefrac.py r4:
+                                    # bunny 18.25%, dragon 20.31%) +
+                                    # ~9% margin; 0.222 rounds to 25
+                                    # kernel tiles @720p, 57 @1080p
     dbg_miss_lod: float = 0.0       # env LOD for primary-miss radiance
                                     # (reference semantics = 0; fidelity
                                     # A/B knob, scripts/fidelity_ab.py)

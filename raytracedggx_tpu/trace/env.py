@@ -36,13 +36,17 @@ class EnvMap(NamedTuple):
     # (scripts/envbench.py: 8-gather trilinear 45 ms vs quad 12 ms at
     # 921k rays), so trading 4x memory for 4x fewer gathers wins big.
     quad: jnp.ndarray = None
-    # (N, 39) float32: [own 2x2 quad 12 | parent-mip 3x3 window 27].
+    # (N, 39) float16: [own 2x2 quad 12 | parent-mip 3x3 window 27].
     # The parent 2x2 footprint of a trilinear sample is NOT determined
     # by the child texel alone (an even child x0=2k straddles parent
     # columns k-1/k), but it always lies inside the 3x3 window centered
     # on column/row clip([k-1, k, k+1]) — so ONE gather + VPU selects
     # replaces the trilinear's second mip gather (exact same taps and
     # weights as the two-gather path).  Last mip's parent is itself.
+    # Stored f16: 39 f32 cols = 156 B spans two 128 B lines, which
+    # doubled the per-row gather cost (11.6 vs ~6 ns/row, r4 xplane);
+    # 78 B fits one line.  f16 texels are FAITHFUL storage — the DDS
+    # source is BC6H half-float — only the 2x2 box-filtered mips round.
     tri: jnp.ndarray = None
 
 
@@ -85,7 +89,7 @@ def pack_mips(mips: List[np.ndarray]) -> EnvMap:
         sizes=jnp.asarray(sizes, jnp.int32),
         num_mips=len(mips),
         quad=jnp.asarray(np.concatenate(quads, axis=0)),
-        tri=jnp.asarray(np.concatenate(tris, axis=0)),
+        tri=jnp.asarray(np.concatenate(tris, axis=0), jnp.float16),
     )
 
 
@@ -217,7 +221,7 @@ def _trilinear_packed(env: EnvMap, m0, f, face, u, v):
     fy = (y - y0)[..., None]
     idx = off + (face * s + y0.astype(jnp.int32)) * s \
         + x0.astype(jnp.int32)
-    row = env.tri[idx]
+    row = env.tri[idx].astype(jnp.float32)
     c0 = (row[..., 0:3] * (1 - fx) * (1 - fy)
           + row[..., 3:6] * fx * (1 - fy)
           + row[..., 6:9] * (1 - fx) * fy
