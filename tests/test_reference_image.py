@@ -49,6 +49,10 @@ def test_reference_image_ssim_gate():
     img = vr.render(m["angle"], 320, 180, frames=12, cam=cam,
                     gs=m["ground_scale"])
     s = ssim(np.asarray(img), ref_small)
-    assert s >= m["ssim_gate_320"] - 0.02, (
+    # margin tightened 0.02 -> 0.01 in round 5: the CPU render at HEAD
+    # scores 0.4441 at gate scale (docs/validation/README.md), i.e. the
+    # recorded 0.4433 gate is already within 0.001 of reality — the
+    # margin only needs to cover CPU-vs-TPU numerics, not model error
+    assert s >= m["ssim_gate_320"] - 0.01, (
         f"reference-image SSIM regressed: {s:.4f} < recorded "
         f"{m['ssim_gate_320']:.4f} - margin")
