@@ -92,6 +92,12 @@ class RenderConfig:
     dbg_miss_lod: float = 0.0       # env LOD for primary-miss radiance
                                     # (reference semantics = 0; fidelity
                                     # A/B knob, scripts/fidelity_ab.py)
+    trace_slim: bool = False        # deferred-attribute traversal kernel
+                                    # (ops/fused.py slim): the kernel
+                                    # tracks only (t, slot, inst); u/v
+                                    # recomputed post-kernel from the
+                                    # attrs gather.  A/B knob until the
+                                    # kernel-lab pricing lands (r5)
     async_compute: bool = False     # 'A' toggle analog: TLAS refit as its
                                     # own dispatched program vs fused into
                                     # the frame program (identical output).
@@ -384,8 +390,10 @@ class Renderer:
             sw = self.swide._replace(nodes=wide_arrays[0],
                                      inv_mats=wide_arrays[1])
             trace_fused = (lambda o, d, tmin, tmax:
-                           trace_scene_wide_fused(sw, o, d, tmin, tmax,
-                                                  interpret=self._interp))
+                           trace_scene_wide_fused(
+                               sw, o, d, tmin, tmax,
+                               interpret=self._interp,
+                               slim=self.config.trace_slim))
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,

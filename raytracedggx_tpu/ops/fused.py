@@ -214,7 +214,8 @@ def compaction_stats(records, tri_stream, leaf_size: int):
 
 
 def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
-                      *refs, t_min, L, RW, TILE_S, lean):
+                      *refs, t_min, L, RW, TILE_S, lean,
+                      slim: bool = False):
     """Instanced variant: shared OBJECT-space mesh subtrees entered via
     tagged instance nodes (the reference TopLevelAS semantics,
     XUSGRayTracing.h:195-237, done the TPU way).
@@ -231,7 +232,15 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
     Leaf columns (tris_ref): [geom 9L | object normals 9L | prim L].
     inv_ref: (tags, 12) SMEM — rows of the inverse world (3x3 row-major
     + translation), row 0 identity."""
-    if lean:
+    if slim:
+        # deferred-attribute kernel (round 5): the carry tracks only
+        # (best t, winner slot, instance) — u/v of the winner are
+        # recomputed post-kernel from the slot's geometry in the attrs
+        # side gather that already runs (trace_scene_wide_fused).  Two
+        # fewer vector selects per Möller–Trumbore test.
+        t_ref, prim_ref, inst_ref, stack_ref = refs
+        u_ref = v_ref = n_ref = None
+    elif lean:
         t_ref, u_ref, v_ref, prim_ref, inst_ref, stack_ref = refs
         n_ref = None
     else:
@@ -289,7 +298,9 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
                 (s_ox, s_oy, s_oz, s_inv(s_dx), s_inv(s_dy), s_inv(s_dz)))
 
     def leaf_fn(lf, inst_f, rs, carry):
-        if lean:
+        if slim:
+            bt, bpr, bin_ = carry
+        elif lean:
             bt, bu, bv, bpr, bin_ = carry
         else:
             bt, bu, bv, bnx, bny, bnz, bpr, bin_ = carry
@@ -323,8 +334,9 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
             ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= t_min) & (t <= bt))
             bt = jnp.where(ok, t, bt)
-            bu = jnp.where(ok, u, bu)
-            bv = jnp.where(ok, v, bv)
+            if not slim:
+                bu = jnp.where(ok, u, bu)
+                bv = jnp.where(ok, v, bv)
             if lean:
                 bpr = jnp.where(ok, base + j, bpr)
             else:
@@ -341,6 +353,8 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
                 bnz = jnp.where(ok, nz, bnz)
                 bpr = jnp.where(ok, colT[18 * L + j], bpr)
             bin_ = jnp.where(ok, inst_f, bin_)
+        if slim:
+            return bt, bpr, bin_
         if lean:
             return bt, bu, bv, bpr, bin_
         return bt, bu, bv, bnx, bny, bnz, bpr, bin_
@@ -458,7 +472,10 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
     stack_ref[0] = 0
     zeros = jnp.zeros((TILE_S, TILE_L), jnp.float32)
     miss = jnp.full((TILE_S, TILE_L), -1.0, jnp.float32)
-    if lean:
+    if slim:
+        init = (jnp.int32(1), tmax0, miss, zeros)
+        (_, bt, bpr, bin_) = lax.while_loop(cond, body, init)
+    elif lean:
         init = (jnp.int32(1), tmax0, zeros, zeros, miss, zeros)
         (_, bt, bu, bv, bpr, bin_) = lax.while_loop(cond, body, init)
     else:
@@ -471,8 +488,9 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
         n_ref[0, 2] = bnz
 
     t_ref[0] = bt
-    u_ref[0] = bu
-    v_ref[0] = bv
+    if not slim:
+        u_ref[0] = bu
+        v_ref[0] = bv
     prim_ref[0] = bpr
     inst_ref[0] = bin_
 
@@ -480,7 +498,7 @@ def _instanced_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, mids_ref,
 def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                           t_max, leaf_size: int, interpret: bool = False,
                           stack: int = 128, tile_s: int = 8,
-                          lean: bool = True):
+                          lean: bool = True, slim: bool = False):
     """Launch the instanced kernel over (R, 3) WORLD-space rays.
     inv_mats: (tags, 12) f32, row 0 identity, row i+1 = instance i's
     inverse world (3x3 row-major + translation).
@@ -520,8 +538,13 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                                      lambda g: (g, 0, 0),
                                      memory_space=pltpu.VMEM)
     scalar_shape = jax.ShapeDtypeStruct((G, tile_s, TILE_L), jnp.float32)
-    out_specs = [tile_spec(), tile_spec(), tile_spec()]
-    out_shape = [scalar_shape, scalar_shape, scalar_shape]
+    if slim:
+        assert lean, "slim requires the lean layout"
+        out_specs = [tile_spec()]
+        out_shape = [scalar_shape]
+    else:
+        out_specs = [tile_spec(), tile_spec(), tile_spec()]
+        out_shape = [scalar_shape, scalar_shape, scalar_shape]
     if not lean:
         out_specs.append(pl.BlockSpec((1, 3, tile_s, TILE_L),
                                       lambda g: (g, 0, 0, 0),
@@ -533,7 +556,7 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
 
     outs = pl.pallas_call(
         functools.partial(_instanced_kernel, t_min=float(t_min), L=L,
-                          RW=RW, TILE_S=tile_s, lean=lean),
+                          RW=RW, TILE_S=tile_s, lean=lean, slim=slim),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -552,6 +575,13 @@ def trace_tiles_instanced(nodes, tris, inv_mats, ray_o, ray_d, t_min,
     def fl(x):
         return x.reshape(G * TILE)[:R]
 
+    if slim:
+        t, prim_f, inst_f = outs
+        prim_f = fl(prim_f)
+        hit = prim_f >= 0.0
+        sidx = jnp.where(hit, prim_f.astype(jnp.int32), -1)
+        inst = jnp.where(hit, fl(inst_f).astype(jnp.int32), -1)
+        return fl(t), sidx, inst
     if lean:
         t, u, v, prim_f, inst_f = outs
         prim_f = fl(prim_f)

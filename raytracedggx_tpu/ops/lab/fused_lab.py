@@ -34,6 +34,14 @@ Variants (static python flags on `_lab_kernel`):
                 NOTE: pre scales VMEM/HBM linearly with the instance-tag
                 count (tags*9 fp32 planes per ray ≈ 33 MB/tag @720p);
                 cap or chunk tags before graduating it to ops/fused.py.
+  noinst      — (round 5) drop the per-triangle instance select from the
+                leaf loop (1 of the ~5 vector selects per MT test).
+                Prices the "defer everything but (t, slot)" endpoint:
+                production would pack the instance into the slot id (or
+                re-derive it from the winner leaf's mesh range + stack
+                replay) and resolve it post-kernel with the attrs gather
+                that already runs.  Combine with slim for the full
+                deferred-attribute kernel.
   sub         — hierarchical leaves (round 4): the leaf column carries 4
                 sub-AABBs over its 4 contiguous L/4-slot chunks (rows
                 9L..9L+23); a leaf visit tests the 4 sub-boxes on the
@@ -69,7 +77,8 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
                 stats: bool, smem_nodes: bool, npop: int, ordered: bool,
                 lean: bool = False, recip: bool = False,
                 fold: bool = False, slim: bool = False,
-                pre: bool = False, sub: int = 0):
+                pre: bool = False, sub: int = 0,
+                noinst: bool = False):
     wox, woy, woz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     wdx, wdy, wdz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     tmax0 = rays_ref[0, 6]
@@ -266,7 +275,8 @@ def _lab_kernel(nodes_ref, tris_ref, rays_ref, inv_ref, fold_ref,
                 bny = jnp.where(ok, ny, bny)
                 bnz = jnp.where(ok, nz, bnz)
                 bpr = jnp.where(ok, colT[18 * L + j], bpr)
-            bin_ = jnp.where(ok, inst_f, bin_)
+            if not noinst:
+                bin_ = jnp.where(ok, inst_f, bin_)
         return bt, bu, bv, bnx, bny, bnz, bpr, bin_
 
     def process_node(entry, valid, carry8, lp):
@@ -720,7 +730,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                     lean: bool = False, leaf_stack: bool = False,
                     recip: bool = False, fold: bool = False,
                     slim: bool = False, pre: bool = False,
-                    sub: int = 0):
+                    sub: int = 0, noinst: bool = False):
     """Lab launcher mirroring ops/fused.trace_tiles_instanced, plus a
     (G, 2) int32 stats output (while-loop iterations, leaf visits per
     tile).  `nodes` must be the flat (Npad, 36) host-order array when
@@ -821,7 +831,7 @@ def trace_tiles_lab(nodes, tris, inv_mats, ray_o, ray_d, t_min,
                                  smem_nodes=smem_nodes, npop=npop,
                                  ordered=ordered, lean=lean,
                                  recip=recip, fold=fold, slim=slim,
-                                 pre=pre, sub=sub)
+                                 pre=pre, sub=sub, noinst=noinst)
     pre_rows = prerays.shape[1]
     t, u, v, nrm, prim_f, inst_f, st = pl.pallas_call(
         kern,

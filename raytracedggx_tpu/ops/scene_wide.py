@@ -198,8 +198,12 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
         nl = len(perm) // L
         if lean:
             cols.append(geom9.reshape(nl, 9 * L))
+            # (T, 19): [n0 n1 n2 | prim | v0 e1 e2] — the geometry tail
+            # (cols 10..18) lets the slim kernel path recompute the
+            # winner's u/v post-kernel (gathers are row-count-bound, so
+            # the extra width is free)
             attr_rows.append(
-                np.concatenate([nrm, prim[:, None]], axis=1))  # (T, 10)
+                np.concatenate([nrm, prim[:, None], geom9], axis=1))
         else:
             cols.append(np.concatenate([
                 geom9.reshape(nl, 9 * L),
@@ -324,20 +328,60 @@ def refit_scene_wide(sw: SceneWideBVH, worlds) -> SceneWideBVH:
 
 
 def trace_scene_wide_fused(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
-                           interpret: bool = False, tile_s: int = 8):
+                           interpret: bool = False, tile_s: int = 8,
+                           slim: bool = False):
     """Closest hit for WORLD-space rays across all instances in ONE
     kernel launch (the DispatchRays TLAS walk, RayTracer.cpp:807-809).
     Returns (HitRecord, normal): normal is the UNNORMALIZED OBJECT-space
     interpolated surface normal (zero where missed); callers transform by
-    the instance normal matrix."""
+    the instance normal matrix.
+
+    slim=True runs the deferred-attribute kernel (2 fewer vector selects
+    per Möller–Trumbore test): the kernel returns only (t, slot, inst)
+    and the winner's u/v are recomputed here from the slot's geometry
+    (attrs cols 10..18) with one extra fused MT evaluation — barycentrics
+    are affine-invariant, so the object-space recompute matches the
+    in-kernel values to fp reassociation."""
     lean = sw.attrs is not None
-    if lean:
+    if lean and slim:
+        import jax
+
+        t, sidx, inst = trace_tiles_instanced(
+            sw.nodes, sw.tris, sw.inv_mats, ray_o, ray_d, t_min, t_max,
+            leaf_size=int(sw.leaf_size), interpret=interpret,
+            stack=int(sw.stack), tile_s=tile_s, lean=True, slim=True)
+        hit = sidx >= 0
+        att = sw.attrs[jnp.clip(sidx, 0, sw.attrs.shape[0] - 1)]
+        # object-space ray via the winner instance's inverse world
+        tags = jnp.clip(inst + 1, 0, sw.inv_mats.shape[0] - 1)
+        oh = jax.nn.one_hot(tags, sw.inv_mats.shape[0],
+                            dtype=jnp.float32)
+        m = oh @ sw.inv_mats                              # (R, 12)
+        o_obj = (jnp.einsum("rj,rja->ra", ray_o,
+                            m[:, :9].reshape(-1, 3, 3)) + m[:, 9:12])
+        d_obj = jnp.einsum("rj,rja->ra", ray_d,
+                           m[:, :9].reshape(-1, 3, 3))
+        v0, e1, e2 = att[:, 10:13], att[:, 13:16], att[:, 16:19]
+        pv = jnp.cross(d_obj, e2)
+        inv_det = 1.0 / jnp.sum(e1 * pv, axis=-1)
+        tv = o_obj - v0
+        u = jnp.sum(tv * pv, axis=-1) * inv_det
+        qv = jnp.cross(tv, e1)
+        v = jnp.sum(d_obj * qv, axis=-1) * inv_det
+        u = jnp.where(hit, u, 0.0)
+        v = jnp.where(hit, v, 0.0)
+        w0 = (1.0 - u - v)[..., None]
+        nrm = (w0 * att[:, 0:3] + u[..., None] * att[:, 3:6]
+               + v[..., None] * att[:, 6:9])
+        nrm = jnp.where(hit[..., None], nrm, 0.0)
+        prim = jnp.where(hit, att[:, 9].astype(jnp.int32), -1)
+    elif lean:
         t, u, v, sidx, inst = trace_tiles_instanced(
             sw.nodes, sw.tris, sw.inv_mats, ray_o, ray_d, t_min, t_max,
             leaf_size=int(sw.leaf_size), interpret=interpret,
             stack=int(sw.stack), tile_s=tile_s, lean=True)
         hit = sidx >= 0
-        # one 10-wide gather resolves the winner's vertex normals + prim
+        # one gather resolves the winner's vertex normals + prim
         att = sw.attrs[jnp.clip(sidx, 0, sw.attrs.shape[0] - 1)]
         w0 = (1.0 - u - v)[..., None]
         nrm = (w0 * att[:, 0:3] + u[..., None] * att[:, 3:6]

@@ -324,6 +324,14 @@ def main():
             tile_s=16)
     variant("sub4_l32", lean=True, l32=True, recip=True, sub=4)
     variant("sub8_l128", lean=True, l128=True, recip=True, sub=8)
+    # round-5: deferred-attribute endpoint — strip the winner-tracking
+    # selects to (t, slot): slim drops u/v, noinst drops the instance
+    variant("slim_l64r", lean=True, l64=True, recip=True, slim=True)
+    variant("noinst_l64", lean=True, l64=True, recip=True, noinst=True)
+    variant("defer_l64", lean=True, l64=True, recip=True, slim=True,
+            noinst=True)
+    variant("defer_l32", lean=True, l32=True, recip=True, slim=True,
+            noinst=True)
     variant("ls", leaf_stack=True)
     variant("ls_lean", leaf_stack=True, lean=True)
     variant("ls_lean_l16", leaf_stack=True, lean=True, l16=True)

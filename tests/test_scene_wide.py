@@ -63,6 +63,38 @@ def test_wide_scene_parity(rng, extra, angle):
     assert same.mean() > 0.99
 
 
+def test_wide_scene_slim_parity(rng):
+    """slim (deferred-attribute) kernel vs the standard lean kernel:
+    identical hits and t; u/v recomputed post-kernel must match the
+    in-kernel values to fp reassociation (barycentrics are
+    affine-invariant, trace_scene_wide_fused docstring)."""
+    from raytracedggx_tpu.ops.scene_wide import trace_scene_wide_fused
+
+    scene = _scene(((3.0, 1.0, 3.0, 0.5),))
+    geom = upload_scene(scene)
+    worlds = scene.worlds(0.7)
+    sw = build_scene_wide(geom, scene.mesh_ids)
+    sw = jax.jit(lambda w: refit_scene_wide(sw, w))(worlds)
+
+    o, d = _rand_rays(rng, 512)
+    rec0, n0 = trace_scene_wide_fused(sw, o, d, 0.0, 1e4, interpret=True)
+    rec1, n1 = trace_scene_wide_fused(sw, o, d, 0.0, 1e4, interpret=True,
+                                      slim=True)
+    np.testing.assert_array_equal(np.asarray(rec0.hit),
+                                  np.asarray(rec1.hit))
+    h = np.asarray(rec0.hit)
+    np.testing.assert_allclose(np.asarray(rec1.t)[h],
+                               np.asarray(rec0.t)[h], rtol=1e-6, atol=0)
+    np.testing.assert_array_equal(np.asarray(rec0.inst)[h],
+                                  np.asarray(rec1.inst)[h])
+    np.testing.assert_allclose(np.asarray(rec1.u)[h],
+                               np.asarray(rec0.u)[h], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec1.v)[h],
+                               np.asarray(rec0.v)[h], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(n1)[h], np.asarray(n0)[h],
+                               atol=1e-4)
+
+
 def test_wide_scene_per_ray_tmax_mask(rng):
     scene = _scene()
     geom = upload_scene(scene)
