@@ -150,7 +150,11 @@ def temporal_ss(current, history, velocity, full_size=None):
     FULL viewport (NDC*0.5 units).  full_size=(W_full, H_full) scales the
     reprojection when the arrays are a row band of a larger sharded image
     (parallel/sharded.py); defaults to the local shape.
-    Returns the new accumulation buffer (H, W, 4)."""
+    Returns the new accumulation buffer (H, W, 4) in float32; callers
+    store it at their history dtype (the production renderers carry
+    history as float16 — the reference's R16G16B16A16_FLOAT
+    TemporalSSOut format, Denoiser.cpp:46-56)."""
+    history = history.astype(jnp.float32)
     h, w = current.shape[0], current.shape[1]
     fw, fh = full_size if full_size is not None else (w, h)
     tex_size = jnp.asarray([fw, fh], jnp.float32)

@@ -110,7 +110,11 @@ class RenderConfig:
 
 
 class RenderState(NamedTuple):
-    history: jnp.ndarray        # (H, W, 4) TSS accumulation (prev frame)
+    history: jnp.ndarray        # (H, W, 4) f16 TSS accumulation (prev
+                                # frame) — the reference's RGBA16F
+                                # TemporalSSOut (Denoiser.cpp:46-56);
+                                # f16 storage halves the scan-carry and
+                                # resample bytes (r5, VERDICT item 5)
     prev_wvp: jnp.ndarray       # (I, 4, 4)
     angle: jnp.ndarray          # () animation angle
     frame: jnp.ndarray          # () int32 absolute frame counter
@@ -236,7 +240,7 @@ class Renderer:
         worlds = self.scene.worlds(0.0)
         wvp = jnp.einsum("ijk,kl->ijl", worlds, self.view_proj)
         return RenderState(
-            history=jnp.zeros((cfg.height, cfg.width, 4), jnp.float32),
+            history=jnp.zeros((cfg.height, cfg.width, 4), jnp.float16),
             prev_wvp=wvp,
             angle=jnp.zeros((), jnp.float32),
             frame=jnp.zeros((), jnp.int32),
@@ -376,7 +380,10 @@ class Renderer:
             # rows outside the global image read as zeros to the tone map
             accum = accum * valid
 
-        return accum, tone_map(accum)
+        # store at the history dtype (f16 = the reference's RGBA16F
+        # TemporalSSOut); the tone map reads the same stored texture
+        accum = accum.astype(history.dtype)
+        return accum, tone_map(accum.astype(jnp.float32))
 
     def _frame_core(self, state: RenderState, rough_metals, consts, tlas,
                     wide_arrays, wvp, angle):

@@ -163,7 +163,7 @@ class ShardedRenderer(Renderer):
         wvp = jnp.einsum("ijk,kl->ijl", worlds, self.view_proj)
         from jax.sharding import NamedSharding
         hist = jax.device_put(
-            jnp.zeros((cfg.height, cfg.width, 4), jnp.float32),
+            jnp.zeros((cfg.height, cfg.width, 4), jnp.float16),
             NamedSharding(self.mesh, P(AXIS)))
         return RenderState(history=hist, prev_wvp=wvp,
                            angle=jnp.zeros((), jnp.float32),

@@ -26,7 +26,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-W, H = 1280, 720
+_res = os.environ.get("KB_RES", "1280x720")   # r5: 1080p re-sweep knob
+W, H = (int(v) for v in _res.split("x"))
 T_MAX = 10000.0
 
 

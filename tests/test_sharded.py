@@ -37,9 +37,14 @@ def test_sharded_matches_single_chip():
     b = np.asarray(f2)
     assert a.shape == b.shape == (H, W, 3)
     # identical except where the TAA history reprojection exceeded the halo
-    # (none expected at this velocity)
+    # (none expected at this velocity).  Tolerance = one f16 ulp at
+    # radiance ~1 (4.9e-4): history is stored RGBA16F (r5, the reference
+    # format), and the band-local vs global tent/gather cond branch can
+    # reassociate fp, so the two paths may round to adjacent f16 values
+    # (measured 2.4e-4); a real halo bug shows up orders larger (the
+    # halo-stress test below)
     diff = np.abs(a - b)
-    assert diff.max() < 1e-4, f"max diff {diff.max()}"
+    assert diff.max() < 5e-4, f"max diff {diff.max()}"
     # state counters replicated correctly
     assert int(np.asarray(s2.frame)) == 3
 
