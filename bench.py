@@ -120,6 +120,10 @@ def _run_config(cfg_id: int):
                 width=w, height=h, spatial=c["spatial"],
                 temporal=c["temporal"], kernels=kernels,
                 traversal=os.environ.get("RTGGX_BENCH_TRAVERSAL", "auto"))
+            if "RTGGX_BENCH_ANCHOR" in os.environ:   # A/B control knob
+                from dataclasses import replace
+                cfg = replace(cfg, sort_anchor=int(
+                    os.environ["RTGGX_BENCH_ANCHOR"]))
             r = Renderer(scene, env=env, config=cfg)
             if c.get("metallic") is not None:
                 for mesh_idx in (0, 1):

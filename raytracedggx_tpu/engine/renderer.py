@@ -74,6 +74,16 @@ class RenderConfig:
     sort_dir_bits: int = 3          # direction-class bits in the bounce
                                     # sort key (3 = octant; 6 = ~30 deg
                                     # cones — A/B knob, traverse_pallas)
+    sort_anchor: int = 0            # ~K-node BVH cut per mesh whose
+                                    # nearest-entry id joins the bounce
+                                    # sort key (frontier re-binning).
+                                    # Priced r5 and default OFF: the
+                                    # ISOLATED kernel wins -19% (20.7 ->
+                                    # 16.8 ms, anchorbench) but the e2e
+                                    # frame LOSES +2.3 ms (45.1 -> 47.4;
+                                    # octant-first layout 47.6) — anchor
+                                    # math ~1.5 ms + in-branch shading
+                                    # gathers decohere.  docs/PERF.md r5
     dbg_no_refl_trace: bool = False   # ablation knobs for differential
     dbg_no_secondary_shade: bool = False  # frame profiling (profile_frame)
     dbg_env_mode: str = "full"        # "no_env" | "bilinear" ablations
@@ -135,6 +145,7 @@ class Renderer:
 
         # traversal backend: the Pallas packet kernel on TPU, the pure-JAX
         # stack traversal elsewhere ("auto")
+        self._anchor_bits = 0
         from ..trace.raygen import default_tracer, pallas_tracer
         mode = self.config.traversal
         if mode == "auto":
@@ -172,10 +183,13 @@ class Renderer:
                     f"(traversal='pallas4')", stacklevel=2)
                 mode = self.traversal = "pallas4"
         if mode == "wide":
-            from ..ops.scene_wide import build_scene_wide
+            from ..ops.scene_wide import anchor_bits, build_scene_wide
             self.swide = build_scene_wide(
                 self.geom, scene.mesh_ids,
-                leaf_size=self.config.wide_leaf_size)
+                leaf_size=self.config.wide_leaf_size,
+                anchor_cut=self.config.sort_anchor)
+            self._anchor_bits = (anchor_bits(self.swide)
+                                 if self.config.sort_anchor else 0)
             self.trace_fn = None       # bound per frame after the refit
         elif mode == "pallas4":
             from ..ops.wide import flatten_bvh4, trace_scene_pallas4
@@ -392,8 +406,11 @@ class Renderer:
 
         trace_fn = self.trace_fn
         trace_fused = None
+        anchor_fn = None
+        anchor_b = 0
         if self.traversal == "wide":
-            from ..ops.scene_wide import trace_scene_wide_fused
+            from ..ops.scene_wide import (anchor_ids_scene,
+                                          trace_scene_wide_fused)
             sw = self.swide._replace(nodes=wide_arrays[0],
                                      inv_mats=wide_arrays[1])
             trace_fused = (lambda o, d, tmin, tmax:
@@ -401,6 +418,9 @@ class Renderer:
                                sw, o, d, tmin, tmax,
                                interpret=self._interp,
                                slim=self.config.trace_slim))
+            if self._anchor_bits:
+                anchor_fn = (lambda o, d: anchor_ids_scene(sw, o, d))
+                anchor_b = self._anchor_bits
 
         out = ray_trace_pass(self.geom, tlas, consts, mats, self.env,
                              self.sh_coeffs, cfg.width, cfg.height,
@@ -413,6 +433,7 @@ class Renderer:
                                              ("pallas", "wide", "pallas4")),
                              secondary_bucket=cfg.secondary_bucket,
                              sort_dir_bits=cfg.sort_dir_bits,
+                             anchor_fn=anchor_fn, anchor_bits=anchor_b,
                              dbg_no_refl_trace=cfg.dbg_no_refl_trace,
                              dbg_no_secondary_shade=(
                                  cfg.dbg_no_secondary_shade),

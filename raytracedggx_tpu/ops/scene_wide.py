@@ -53,6 +53,15 @@ class SceneWideBVH(NamedTuple):
     num_nodes: int
     leaf_size: int
     stack: int
+    # frontier re-binning support (round 5): a ~K-node object-space BVH
+    # cut per instance; the bounce sort key is augmented with each ray's
+    # nearest-entry cut id so rays that descend the same subtrees land in
+    # the same kernel tiles (measured -19% on the reflection kernel,
+    # scripts/anchorbench.py — the packet kernel pays the UNION of its
+    # tile's leaf sets, and origin-morton alone groups rays by where
+    # they START, not where they GO)
+    anchor_boxes: jnp.ndarray = None  # (I, K, 6) f32 object-space cut
+    anchor_base: tuple = ()           # per-instance first anchor id + total
 
 
 def _instance_tree(num_inst: int):
@@ -89,9 +98,33 @@ def _instance_tree(num_inst: int):
     return records
 
 
+def _mesh_cut(recs, k_cut: int):
+    """BFS a mesh subtree's records from its root into a ~k_cut-node
+    frontier of object-space AABBs (the anchor cut).  recs[r] = 4 child
+    dicts with kind (0 pad / 1 leaf / 2 internal), a, lo, hi."""
+    frontier = [0]
+    boxes = []
+    while frontier and len(frontier) + len(boxes) < k_cut:
+        n = frontier.pop(0)
+        kids = []
+        for c in recs[n]:
+            if c["kind"] == 2:
+                kids.append(c["a"])
+            elif c["kind"] == 1:
+                boxes.append(np.concatenate([c["lo"], c["hi"]]))
+        frontier.extend(kids)
+    for n in frontier:
+        live = [c for c in recs[n] if c["kind"] > 0]
+        lo = np.min([c["lo"] for c in live], axis=0)
+        hi = np.max([c["hi"] for c in live], axis=0)
+        boxes.append(np.concatenate([lo, hi]))
+    return np.asarray(boxes, np.float32)
+
+
 def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
                      worlds=None, lean: bool = True,
-                     builder: str = "sah") -> SceneWideBVH:
+                     builder: str = "sah",
+                     anchor_cut: int = 32) -> SceneWideBVH:
     """geom: SceneGeometry (per-mesh LBVH built); mesh_ids: instance ->
     mesh index.  All topology + object-space geometry is host-built once;
     refit_scene_wide(sw, worlds) fills instance world boxes + inverse
@@ -248,6 +281,28 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
         depth[r] = d
     stack = max(128, int(6 * depth[0] + 16))
 
+    # anchor cuts: one object-space cut per unique mesh, instanced per
+    # instance with cumulative id bases (cap the total at 256 anchors =
+    # 8 key bits so dense-instance scenes keep enough Morton bits)
+    anchor_boxes = None
+    anchor_base = ()
+    if anchor_cut:
+        k_eff = max(4, min(anchor_cut, 256 // num_inst))
+        cuts = {m: _mesh_cut(mesh_recs[m][0], k_eff) for m in mesh_set}
+        k_max = max(c.shape[0] for c in cuts.values())
+        empty = np.concatenate([np.full(3, 3e38, np.float32),
+                                np.full(3, -3e38, np.float32)])
+        per_inst = np.tile(empty, (num_inst, k_max, 1))
+        base, bases = 0, []
+        for i, m in enumerate(mesh_ids):
+            c = cuts[m]
+            per_inst[i, :c.shape[0]] = c
+            bases.append(base)
+            base += c.shape[0]
+        bases.append(base)                     # [-1] = total anchors
+        anchor_boxes = jnp.asarray(per_inst)
+        anchor_base = tuple(bases)
+
     sw = SceneWideBVH(
         nodes=None, tris=tris, inv_mats=None, attrs=attrs,
         static_cols=jnp.asarray(static_cols),
@@ -258,6 +313,8 @@ def build_scene_wide(geom, mesh_ids, leaf_size: int = 16,
         num_nodes=N,
         leaf_size=L,
         stack=stack,
+        anchor_boxes=anchor_boxes,
+        anchor_base=anchor_base,
     )
     if worlds is None:
         worlds = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
@@ -327,6 +384,51 @@ def refit_scene_wide(sw: SceneWideBVH, worlds) -> SceneWideBVH:
     return sw._replace(nodes=nodes, inv_mats=inv_mats)
 
 
+def anchor_ids_scene(sw: SceneWideBVH, ray_o, ray_d):
+    """Nearest-entry anchor id per WORLD-space ray over the per-instance
+    object-space BVH cuts (slab tests through the refit inverse-world
+    table, so animation keeps anchors correct).  Rays that miss every cut
+    box keep id 0 — they are dead or sky rays whose key slot is
+    irrelevant (the dead bit dominates the sort)."""
+    n_inst, _k, _ = sw.anchor_boxes.shape
+    best_t = jnp.full(ray_o.shape[:1], jnp.inf)
+    best_id = jnp.zeros(ray_o.shape[:1], jnp.uint32)
+    for i in range(n_inst):
+        m = sw.inv_mats[i + 1]
+        oo = ray_o @ m[:9].reshape(3, 3) + m[9:]
+        dd = ray_d @ m[:9].reshape(3, 3)
+        inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20, 1e-20, dd)
+        cut = sw.anchor_boxes[i]
+        # (K, R) layout: the ray axis stays minor-most so every slab op
+        # runs at full (8, 128) lane utilization — the natural
+        # (R, K, 3) broadcast puts 3 in the lane dim and ran ~30x
+        # slower in-frame (r5 bench regression 45 -> 83 ms)
+        tn = None
+        tf = None
+        for ax in range(3):
+            a = (cut[:, ax, None] - oo[None, :, ax]) * inv[None, :, ax]
+            b = (cut[:, 3 + ax, None] - oo[None, :, ax]) * inv[None, :, ax]
+            n_ax = jnp.minimum(a, b)
+            f_ax = jnp.maximum(a, b)
+            tn = n_ax if tn is None else jnp.maximum(tn, n_ax)
+            tf = f_ax if tf is None else jnp.minimum(tf, f_ax)
+        ok = (tn <= tf) & (tf >= 0.0)
+        tn = jnp.where(ok, jnp.maximum(tn, 0.0), jnp.inf)   # (K, R)
+        j = jnp.argmin(tn, axis=0)
+        tn_b = jnp.min(tn, axis=0)
+        upd = tn_b < best_t
+        best_t = jnp.where(upd, tn_b, best_t)
+        best_id = jnp.where(
+            upd, (sw.anchor_base[i] + j).astype(jnp.uint32), best_id)
+    return best_id
+
+
+def anchor_bits(sw: SceneWideBVH) -> int:
+    """Key bits needed for the scene's anchor ids."""
+    total = sw.anchor_base[-1] if sw.anchor_base else 0
+    return max(1, int(np.ceil(np.log2(max(total, 2))))) if total else 0
+
+
 def trace_scene_wide_fused(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
                            interpret: bool = False, tile_s: int = 8,
                            slim: bool = False):
@@ -381,8 +483,11 @@ def trace_scene_wide_fused(sw: SceneWideBVH, ray_o, ray_d, t_min, t_max,
             leaf_size=int(sw.leaf_size), interpret=interpret,
             stack=int(sw.stack), tile_s=tile_s, lean=True)
         hit = sidx >= 0
-        # one gather resolves the winner's vertex normals + prim
-        att = sw.attrs[jnp.clip(sidx, 0, sw.attrs.shape[0] - 1)]
+        # one gather resolves the winner's vertex normals + prim; cols
+        # 10..18 (the slim path's geometry tail) are sliced off BEFORE
+        # the gather — the full-width gather forced a (R, 19) layout
+        # copy downstream (~0.6 ms @720p, r5 xplane)
+        att = sw.attrs[:, :10][jnp.clip(sidx, 0, sw.attrs.shape[0] - 1)]
         w0 = (1.0 - u - v)[..., None]
         nrm = (w0 * att[:, 0:3] + u[..., None] * att[:, 3:6]
                + v[..., None] * att[:, 6:9])

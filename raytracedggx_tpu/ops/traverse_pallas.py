@@ -325,7 +325,8 @@ def make_block_order(width: int, height: int):
 
 def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None,
                      block: int | None = None,
-                     with_inverse: bool = True, dir_bits: int = 3):
+                     with_inverse: bool = True, dir_bits: int = 3,
+                     anchor=None, anchor_bits: int = 0):
     """Sort key for incoherent secondary waves: dead rays last (so they
     compact into tiles that terminate after the root test), then direction
     octant (3 bits), then Morton of the origin — groups live rays into
@@ -354,10 +355,21 @@ def sort_rays_morton(ray_o, ray_d, scene_lo, scene_hi, active=None,
                   | ((ay > az).astype(jnp.uint32) << 4)
                   | ((ax > ay).astype(jnp.uint32) << 5))
     code = morton3d(ray_o, scene_lo, scene_hi)
-    # single 32-bit key (no x64): 1 dead bit + dir class + Morton prefix
-    # (morton3d emits 30 bits; keep the top 31 - dir_bits of them)
-    key = (octant << jnp.uint32(31 - dir_bits)) \
-        | (code >> jnp.uint32(dir_bits - 1))
+    # single 32-bit key (no x64): 1 dead bit + [anchor] + dir class +
+    # Morton prefix (morton3d emits 30 bits; the anchor — each ray's
+    # nearest-entry BVH-cut id, ops/scene_wide.anchor_ids_scene — leads
+    # so tiles group by the subtree the rays DESCEND, not just where
+    # they start: -19% on the reflection kernel, scripts/anchorbench.py)
+    if anchor is not None and anchor_bits:
+        # octant leads, anchor second: direction coherence stays primary
+        # (env/shading gather locality), subtree grouping second
+        ab = anchor_bits
+        key = (octant << jnp.uint32(31 - dir_bits)) \
+            | (anchor << jnp.uint32(31 - dir_bits - ab)) \
+            | (code >> jnp.uint32(dir_bits - 1 + ab))
+    else:
+        key = (octant << jnp.uint32(31 - dir_bits)) \
+            | (code >> jnp.uint32(dir_bits - 1))
     if active is not None:
         key = jnp.where(active, key, key | jnp.uint32(1 << 31))
     R = key.shape[0]

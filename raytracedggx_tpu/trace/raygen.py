@@ -586,6 +586,7 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
                    row0=0, band_height=None, trace_fn=None, ray_order=None,
                    sort_secondary=False, trace_fused=None,
                    secondary_bucket=0.25, sort_dir_bits=3,
+                   anchor_fn=None, anchor_bits=0,
                    dbg_no_refl_trace=False, dbg_no_secondary_shade=False,
                    dbg_env_mode="full", dbg_miss_lod=0.0):
     """Full DispatchRays equivalent. Returns a dict of (H, W, C) images:
@@ -636,9 +637,12 @@ def ray_trace_pass(geom: SceneGeometry, tlas, consts: FrameConstants,
         from ..ops.traverse_pallas import sort_rays_morton
         lo = jnp.min(tlas.aabb_min, axis=0)
         hi = jnp.max(tlas.aabb_max, axis=0)
+        aid = (anchor_fn(p, dirs)
+               if anchor_fn is not None and anchor_bits else None)
         return sort_rays_morton(p, dirs, lo, hi, active=tmax > 0,
                                 with_inverse=with_inverse,
-                                dir_bits=sort_dir_bits)
+                                dir_bits=sort_dir_bits,
+                                anchor=aid, anchor_bits=anchor_bits)
 
     # closestHitReflection early-out (:573): payload seeded with
     # color * metallic; all-nonpositive seed skips hit shading

@@ -161,3 +161,52 @@ def test_refit_boxes_contain_triangles(rng):
                 wc = corners @ w[:3, :3] + w[3, :3]
                 assert (wc >= lo - 1e-4).all() and \
                     (wc <= hi + 1e-4).all(), f"instance box {r}/{k}"
+
+
+def test_anchor_ids_and_sort_key_parity(rng):
+    """Frontier re-binning (round 5): anchor ids are in-range per
+    instance, anchor-augmented sort keys keep dead rays last, and
+    tracing in anchor order returns exactly the same hit set after
+    un-permutation (the sort is a pure reordering)."""
+    from raytracedggx_tpu.ops.scene_wide import (anchor_bits,
+                                                 anchor_ids_scene)
+    from raytracedggx_tpu.ops.traverse_pallas import sort_rays_morton
+
+    scene = _scene(((3.0, 1.0, 3.0, 0.5),))
+    geom = upload_scene(scene)
+    worlds = scene.worlds(0.7)
+    sw = build_scene_wide(geom, scene.mesh_ids, anchor_cut=8)
+    sw = jax.jit(lambda w: refit_scene_wide(sw, w))(worlds)
+
+    assert sw.anchor_boxes is not None
+    total = sw.anchor_base[-1]
+    ab = anchor_bits(sw)
+    assert total >= 3 and (1 << ab) >= total
+
+    o, d = _rand_rays(rng, 512)
+    aid = np.asarray(anchor_ids_scene(sw, o, d))
+    assert aid.dtype == np.uint32 and (aid < total).all()
+    # rays aimed at the scene overwhelmingly enter SOME cut box
+    assert (aid > 0).any()
+
+    tmax = jnp.where(jnp.arange(512) % 3 == 0, -1.0, 1e4)
+    lo = jnp.asarray([-8.0, -8.0, -8.0])
+    hi = jnp.asarray([8.0, 8.0, 8.0])
+    order, inv = sort_rays_morton(o, d, lo, hi, active=tmax > 0,
+                                  anchor=jnp.asarray(aid),
+                                  anchor_bits=ab)
+    order = np.asarray(order)
+    # dead rays (every 3rd) sort to the tail
+    n_dead = int(np.asarray(tmax <= 0).sum())
+    assert set(order[-n_dead:].tolist()) == \
+        set(np.nonzero(np.asarray(tmax <= 0))[0].tolist())
+
+    ref = trace_scene_wide(sw, o, d, 0.0, tmax, interpret=True)
+    got_s = trace_scene_wide(sw, o[jnp.asarray(order)],
+                             d[jnp.asarray(order)], 0.0,
+                             tmax[jnp.asarray(order)], interpret=True)
+    inv_o = np.argsort(order)
+    np.testing.assert_array_equal(np.asarray(got_s.hit)[inv_o],
+                                  np.asarray(ref.hit))
+    np.testing.assert_allclose(np.asarray(got_s.t)[inv_o],
+                               np.asarray(ref.t), rtol=1e-6)
